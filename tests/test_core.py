@@ -1,0 +1,130 @@
+"""Core model tests: pointer encoding, display parity, schema parsing.
+
+Expectations ported from reference unit tests in
+``json_schema_rs/src/json_pointer.rs`` and ``json_schema/json_schema.rs``
+(cited per test).
+"""
+
+import math
+
+import pytest
+
+from engine import errors as E
+from engine.pointer import (display_root_or_path, encode_pointer,
+                            JsonPointerError, parse_pointer)
+from engine.schema import (AP_ALLOW, AP_FORBID, Schema, SchemaParseError,
+                           UNSET, parse_schema)
+
+
+class TestPointer:
+    def test_root_and_push(self):  # json_pointer.rs:381-390
+        assert display_root_or_path(()) == "root"
+        assert display_root_or_path(("x",)) == "/x"
+        assert encode_pointer(()) == ""
+        assert encode_pointer(("a", "b")) == "/a/b"
+
+    def test_escaping(self):  # json_pointer.rs:35-57 (~ -> ~0, / -> ~1)
+        assert encode_pointer(("a/b",)) == "/a~1b"
+        assert encode_pointer(("m~n",)) == "/m~0n"
+        assert encode_pointer(("~/",)) == "/~0~1"
+        assert parse_pointer("/a~1b") == ("a/b",)
+        assert parse_pointer("/m~0n") == ("m~n",)
+
+    def test_invalid_escape(self):
+        with pytest.raises(JsonPointerError):
+            parse_pointer("/a~2b")
+        with pytest.raises(JsonPointerError):
+            parse_pointer("/a~")
+
+
+class TestDisplayParity:
+    def test_rust_f64(self):
+        # Rust `{}` Display: integral floats print without fraction.
+        assert E.rust_f64(5.0) == "5"
+        assert E.rust_f64(5.5) == "5.5"
+        assert E.rust_f64(-3.0) == "-3"
+        assert E.rust_f64(0.0) == "0"
+        assert E.rust_f64(-0.0) == "-0"
+        assert E.rust_f64(1e21) == "1000000000000000000000"
+        assert E.rust_f64(1e-7) == "0.0000001"
+        assert E.rust_f64(0.1) == "0.1"
+
+    def test_ryu_float(self):
+        assert E.ryu_float(1.0) == "1.0"
+        assert E.ryu_float(1e21) == "1e21"
+        assert E.ryu_float(1e-7) == "1e-7"
+        assert E.ryu_float(0.3) == "0.3"
+
+    def test_canonical_json(self):
+        # serde_json::to_string on BTreeMap values: compact, sorted keys.
+        assert E.canonical_json({"b": 1, "a": [True, None, "x"]}) == \
+            '{"a":[true,null,"x"],"b":1}'
+        assert E.canonical_json(1.0) == "1.0"
+        assert E.canonical_json("q\"\\\n") == '"q\\"\\\\\\n"'
+        assert E.canonical_json("héllo") == '"héllo"'
+
+    def test_json_equal_number_kinds(self):
+        # serde_json Number variants: 1 (int) != 1.0 (float); bool not a number.
+        assert not E.json_equal(1, 1.0)
+        assert E.json_equal(1, 1)
+        assert E.json_equal(1.5, 1.5)
+        assert not E.json_equal(True, 1)
+        assert E.json_equal([1, {"a": 2}], [1, {"a": 2}])
+        assert not E.json_equal([1, {"a": 2}], [1, {"a": 2.0}])
+
+    def test_render_message_samples(self):  # error.rs:241-398 templates
+        assert E.render_message({"kind": E.MISSING_REQUIRED, "path": ("name",),
+                                 "property": "name"}) == \
+            '/name: missing required property "name"'
+        assert E.render_message({"kind": E.TOO_LONG, "path": (),
+                                 "max_length": 2, "actual_length": 3}) == \
+            "root: string has 3 code points, maxLength is 2"
+        assert E.render_message({"kind": E.BELOW_MINIMUM, "path": ("a",),
+                                 "minimum": 1.0, "actual": 0.5}) == \
+            "/a: value 0.5 is below minimum 1"
+        assert E.render_message({"kind": E.NOT_IN_ENUM, "path": (),
+                                 "invalid_value": '"x"',
+                                 "allowed": ['"a"', '"b"']}) == \
+            'root: value "x" not in enum (allowed: "a", "b")'
+
+
+class TestSchemaParse:
+    def test_type_array_truncated_to_first(self):  # json_schema.rs:96-114
+        s = parse_schema('{"type": ["string", "null"]}')
+        assert s.type == "string"
+        assert parse_schema('{"type": []}').type is None
+
+    def test_additional_properties_tristate(self):  # json_schema.rs:52-94
+        assert parse_schema('{"additionalProperties": true}'
+                            ).additional_properties == AP_ALLOW
+        assert parse_schema('{"additionalProperties": false}'
+                            ).additional_properties == AP_FORBID
+        ap = parse_schema('{"additionalProperties": {"type": "string"}}'
+                          ).additional_properties
+        assert isinstance(ap, Schema) and ap.type == "string"
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"additionalProperties": 3}')
+
+    def test_const_null_vs_absent(self):
+        assert parse_schema('{}').const is UNSET
+        assert parse_schema('{"const": null}').const is None
+
+    def test_lenient_ignores_unknown_strict_rejects(self):  # json_schema.rs:137-275
+        s = parse_schema('{"type": "string", "x-vendor": 1}')
+        assert s.type == "string"
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"type": "string", "x-vendor": 1}', strict=True)
+
+    def test_properties_sorted(self):  # BTreeMap ordering, json_schema.rs:304-306
+        s = parse_schema('{"properties": {"b": {}, "a": {}, "c": {}}}')
+        assert [k for k, _ in s.sorted_properties()] == ["a", "b", "c"]
+
+    def test_numeric_keyword_types(self):
+        s = parse_schema('{"minimum": 1, "maximum": 2.5, "minLength": 0}')
+        assert s.minimum == 1.0 and isinstance(s.minimum, float)
+        assert s.maximum == 2.5
+        assert s.min_length == 0
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"minItems": -1}')
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"minLength": 1.5}')
