@@ -23,7 +23,19 @@ class SchemaParseError(ValueError):
 
 
 class _Unset:
-    __slots__ = ()
+    """Identity-compared sentinel; singleton even across pickling (plans are
+    shipped to Ray workers, so ``__new__`` must always return the one
+    instance)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __reduce__(self):
+        return (_Unset, ())
 
     def __repr__(self) -> str:  # pragma: no cover
         return "UNSET"

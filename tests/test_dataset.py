@@ -1,0 +1,135 @@
+"""End-to-end Ray Data pipeline tests: synth corpus -> validate -> verdicts.
+
+Uses the session-scoped Ray fixture (local, 4 CPUs). Corpus is synthesized
+deterministically from /root/testdata/sf0.001/documents.parquet.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine import errors as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    from engine.synth import build_corpus
+    out = str(tmp_path_factory.mktemp("corpus"))
+    return build_corpus(SF_DIR, out, replicate=2, partitions=4, seed=42)
+
+
+class TestSynth:
+    def test_deterministic_and_partitioned(self, corpus_dir):
+        import ray.data
+        ds = ray.data.read_parquet(corpus_dir)
+        n = ds.count()
+        assert n == 1000  # 500 docs x replicate 2
+        parts = sorted(os.listdir(corpus_dir))
+        assert all(p.startswith("partition_id=") for p in parts)
+        assert len(parts) == 4
+
+    def test_same_seed_same_rows(self, ray_session, tmp_path):
+        from engine.synth import build_corpus
+        import ray.data
+        d2 = build_corpus(SF_DIR, str(tmp_path / "c2"), replicate=2,
+                          partitions=4, seed=42)
+        a = ray.data.read_parquet(d2).to_pandas().sort_values(
+            ["partition_id", "doc_id"]).reset_index(drop=True)
+        b = ray.data.read_parquet(
+            os.path.dirname(d2) and d2).to_pandas().sort_values(
+            ["partition_id", "doc_id"]).reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestValidatePipeline:
+    def test_violations_match_oracle(self, corpus_dir, ray_session):
+        import ray.data
+        from engine.dataset import DOC_SCHEMA_JSON, validate_dataset
+        from engine.oracle import validate as oracle_validate
+        from engine.rows import table_to_json_rows
+        from engine.schema import parse_schema
+        from engine.pointer import encode_pointer
+
+        ds = ray.data.read_parquet(corpus_dir)
+        viol = validate_dataset(ds, DOC_SCHEMA_JSON).to_pandas()
+        assert set(viol.columns) == {
+            "partition_id", "doc_id", "error_seq", "error_kind",
+            "instance_path", "message", "context", "spans"}
+
+        # oracle over the whole corpus (1000 docs), compare per-doc errors
+        schema = parse_schema(DOC_SCHEMA_JSON)
+        table = pq.read_table(corpus_dir).select(["doc_id", "spans"])
+        expected = {}
+        for inst in table_to_json_rows(table):
+            errs = oracle_validate(schema, inst)
+            if errs:
+                key = inst.get("doc_id", "")
+                expected.setdefault(key, []).extend(
+                    [(e["kind"], encode_pointer(e["path"])) for e in errs])
+        got = {}
+        for _, r in viol.iterrows():
+            got.setdefault(r["doc_id"], []).append(
+                (r["error_kind"], r["instance_path"]))
+        # hot doc id appears multiple times; compare as sorted multisets
+        assert set(got.keys()) == set(expected.keys())
+        for k in expected:
+            assert sorted(got[k]) == sorted(expected[k]), k
+        assert len(viol) > 0
+
+    def test_span_sequence_invariant(self, corpus_dir, ray_session):
+        # Every violations row carries the source doc's exact span sequence
+        # (kind, text, media_ref, order) — BASELINE.json per-row invariant.
+        import ray.data
+        from engine.dataset import validate_dataset
+
+        ds = ray.data.read_parquet(corpus_dir)
+        viol = validate_dataset(ds).to_pandas()
+        src = pq.read_table(corpus_dir).to_pandas()
+        uniq = src.drop_duplicates("doc_id", keep=False).set_index("doc_id")
+        checked = 0
+        for _, r in viol.iterrows():
+            if r["doc_id"] in uniq.index:
+                src_spans = uniq.loc[r["doc_id"], "spans"]
+                got = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+                exp = [(s["kind"], s["text"], s["media_ref"]) for s in src_spans]
+                assert got == exp
+                checked += 1
+        assert checked > 10
+
+    def test_partition_verdicts(self, corpus_dir, ray_session):
+        import ray.data
+        from engine.dataset import partition_verdicts
+
+        ds = ray.data.read_parquet(corpus_dir)
+        v = partition_verdicts(ds).to_pandas().sort_values("partition_id")
+        assert v["docs"].sum() == 1000
+        assert set(v.columns) == {"partition_id", "docs", "violation_docs",
+                                  "violations", "pass"}
+        # violation injection guarantees some failures
+        assert (~v["pass"]).any()
+        assert (v["violation_docs"] <= v["docs"]).all()
+
+    def test_json_column_dynamic_path(self, ray_session):
+        import ray.data
+        from engine.dataset import validate_json_column
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/events.parquet")
+        # props look like {"k": <int>}; no violations for the lenient schema,
+        # per-row violations when k must be a string
+        lenient = validate_json_column(
+            ds, json.dumps({"type": "object"}), column="props",
+            key_column="event_id")
+        assert lenient.count() == 0
+        strict = validate_json_column(
+            ds, json.dumps({"type": "object",
+                            "properties": {"k": {"type": "string"}}}),
+            column="props", key_column="event_id")
+        df = strict.to_pandas()
+        assert len(df) > 0
+        assert (df["error_kind"] == "ExpectedString").all()
+        assert (df["instance_path"] == "/k").all()
