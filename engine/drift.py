@@ -1,0 +1,201 @@
+"""Distribution drift: per-partition KS (numeric) / PSI (categorical) against
+a baseline sketch store.
+
+Baseline = merged t-digests (numeric) + value counts (categorical) from a
+reference corpus, built with the same partial+final pattern as stats. The
+per-partition check sketches each partition (partials inside ``map_batches``,
+merged per (partition, column) in a small groupby) and compares against the
+broadcast baseline — the corpus is never shuffled.
+
+* KS distance: max |ECDF_part(x) - ECDF_base(x)| evaluated on the union of
+  centroid locations of both digests.
+* PSI: sum (p-q) ln(p/q) over categories with add-one smoothing.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from engine.sketches import TDigest
+
+NUMERIC_DEFAULT = ("spans.offset", "spans.__len")
+CATEGORICAL_DEFAULT = ("spans.kind",)
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("partition_id", pa.string()),
+    ("column", pa.string()),
+    ("kind", pa.string()),          # "numeric" | "categorical"
+    ("tdigest", pa.binary()),
+    ("counts", pa.string()),        # JSON {value: count}
+])
+
+
+class _DriftPartialBatch:
+    def __init__(self, numeric: Sequence[str], categorical: Sequence[str]):
+        self.numeric = tuple(numeric)
+        self.categorical = tuple(categorical)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = batch.column("partition_id").to_numpy(zero_copy_only=False)
+        rows = []
+        wanted = set(self.numeric) | set(self.categorical)
+        # map each leaf column's slots back to batch rows
+        from engine.kernels import _decode, _flatten, _is_list_t
+        for name in wanted:
+            if name in batch.column_names:
+                arr = _decode(batch.column(name))
+                parent = np.arange(len(batch))
+            else:
+                base, _, field = name.partition(".")
+                if base not in batch.column_names:
+                    continue
+                lst = _decode(batch.column(base))
+                if not _is_list_t(lst.type):
+                    continue
+                active = np.ones(len(lst), dtype=bool)
+                if lst.null_count:
+                    active = np.asarray(pc.is_valid(lst)).astype(bool)
+                if field == "__len":
+                    arr = pc.list_value_length(lst)
+                    arr = pc.fill_null(arr, 0)
+                    parent = np.arange(len(batch))
+                else:
+                    elems, parent, _ = _flatten(lst, active)
+                    arr = _decode(elems.field(field))
+            vals = arr.to_numpy(zero_copy_only=False)
+            pvals = parts[parent]
+            for p in np.unique(pvals):
+                sel = vals[pvals == p]
+                if name in self.numeric:
+                    sel = sel[~(sel == None)]  # noqa: E711
+                    td = TDigest().update(np.asarray(sel, dtype=np.float64))
+                    rows.append({"partition_id": str(p), "column": name,
+                                 "kind": "numeric", "tdigest": td.to_bytes(),
+                                 "counts": ""})
+                else:
+                    u, c = np.unique(sel[sel != None], return_counts=True)  # noqa: E711
+                    rows.append({"partition_id": str(p), "column": name,
+                                 "kind": "categorical", "tdigest": b"",
+                                 "counts": json.dumps(
+                                     {str(k): int(v) for k, v in zip(u, c)})})
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+
+def _merge_partials(df):
+    """Merge partial rows of one (partition, column) group -> one row."""
+    import pandas as pd
+
+    kind = df["kind"].iloc[0]
+    if kind == "numeric":
+        td = TDigest()
+        for b in df["tdigest"]:
+            if b:
+                td.merge(TDigest.from_bytes(bytes(b)))
+        blob, counts = td.to_bytes(), ""
+    else:
+        total: dict = {}
+        for s in df["counts"]:
+            if s:
+                for k, v in json.loads(s).items():
+                    total[k] = total.get(k, 0) + v
+        blob, counts = b"", json.dumps(total)
+    return pd.DataFrame([{
+        "partition_id": df["partition_id"].iloc[0],
+        "column": df["column"].iloc[0],
+        "kind": kind, "tdigest": blob, "counts": counts,
+    }])
+
+
+def build_baseline(ds, *, numeric: Sequence[str] = NUMERIC_DEFAULT,
+                   categorical: Sequence[str] = CATEGORICAL_DEFAULT,
+                   exclude_partitions: Sequence[str] = (),
+                   batch_size: int = 8192) -> dict:
+    """Baseline sketch store {column: (kind, payload)} from a clean corpus."""
+    partials = ds.map_batches(
+        _DriftPartialBatch(numeric, categorical),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    excl = set(exclude_partitions)
+    baseline: dict = {}
+    for row in partials.iter_rows():
+        if row["partition_id"] in excl:
+            continue
+        col = row["column"]
+        if row["kind"] == "numeric":
+            td = TDigest.from_bytes(bytes(row["tdigest"]))
+            if col in baseline:
+                baseline[col][1].merge(td)
+            else:
+                baseline[col] = ("numeric", td)
+        else:
+            cnts = json.loads(row["counts"]) if row["counts"] else {}
+            if col in baseline:
+                for k, v in cnts.items():
+                    baseline[col][1][k] = baseline[col][1].get(k, 0) + v
+            else:
+                baseline[col] = ("categorical", dict(cnts))
+    return baseline
+
+
+def ks_distance(a: TDigest, b: TDigest) -> float:
+    xs = np.unique(np.concatenate([a.means, b.means]))
+    if len(xs) == 0:
+        return 0.0
+    return float(np.max(np.abs(a.cdf(xs) - b.cdf(xs))))
+
+
+def psi(p_counts: dict, q_counts: dict) -> float:
+    cats = sorted(set(p_counts) | set(q_counts))
+    if not cats:
+        return 0.0
+    p = np.array([p_counts.get(c, 0) + 1.0 for c in cats])
+    q = np.array([q_counts.get(c, 0) + 1.0 for c in cats])
+    p /= p.sum()
+    q /= q.sum()
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def drift_check(ds, baseline: dict, *,
+                numeric: Sequence[str] = NUMERIC_DEFAULT,
+                categorical: Sequence[str] = CATEGORICAL_DEFAULT,
+                ks_threshold: float = 0.15, psi_threshold: float = 0.2,
+                batch_size: int = 8192):
+    """Per (partition, column) drift verdicts vs the broadcast baseline."""
+    partials = ds.map_batches(
+        _DriftPartialBatch(numeric, categorical),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    merged = partials.groupby(["partition_id", "column"]).map_groups(
+        _merge_partials, batch_format="pandas")
+
+    base_ser = {k: (kind, td.to_bytes() if kind == "numeric" else td)
+                for k, (kind, td) in baseline.items()}
+
+    def _score(df):
+        import pandas as pd
+        out = []
+        for _, r in df.iterrows():
+            entry = base_ser.get(r["column"])
+            if entry is None:
+                continue
+            kind, payload = entry
+            if kind == "numeric":
+                d = ks_distance(TDigest.from_bytes(bytes(r["tdigest"])),
+                                TDigest.from_bytes(payload))
+                out.append({"partition_id": r["partition_id"],
+                            "column": r["column"], "metric": "ks",
+                            "value": d, "drifted": d > ks_threshold})
+            else:
+                cnts = json.loads(r["counts"]) if r["counts"] else {}
+                d = psi(cnts, payload)
+                out.append({"partition_id": r["partition_id"],
+                            "column": r["column"], "metric": "psi",
+                            "value": d, "drifted": d > psi_threshold})
+        return pd.DataFrame(out, columns=["partition_id", "column", "metric",
+                                          "value", "drifted"])
+
+    return merged.map_batches(_score, batch_format="pandas")

@@ -1,0 +1,123 @@
+"""Referential integrity: every non-empty ``spans.media_ref`` must exist in
+the media catalog.
+
+Broadcast semi-join (SURVEY.md §2.4): the catalog side is distilled into a
+Bloom filter — built distributedly (per-batch partial Blooms OR-merged, a few
+KB..MB each) — then shipped ONCE via ``ray.put`` and read inside every
+``map_batches`` task. No shuffle of the documents table. Bloom misses are
+definitely dangling (no false negatives); Bloom hits may be false positives
+at the configured fpr, so ``exact=True`` swaps in an exact membership set for
+small catalogs / correctness oracles, and at scale a second exact pass over
+the (rare) hits of suspected-dangling refs is the documented pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.kernels import _decode, _flatten, _is_list_t
+from engine.sketches import Bloom
+
+
+def build_bloom(catalog_ds, column: str = "media_ref", *,
+                capacity: Optional[int] = None, fpr: float = 0.01,
+                batch_size: int = 65536) -> Bloom:
+    """Distributed Bloom build: per-batch partial filters, OR-merged."""
+    if capacity is None:
+        capacity = catalog_ds.count()
+    proto = Bloom.for_capacity(capacity, fpr)
+    n_bits, k = proto.n_bits, proto.k
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        b = Bloom(n_bits, k)
+        vals = batch.column(column).drop_null().to_numpy(zero_copy_only=False)
+        b.add(vals)
+        return pa.table({"bloom": pa.array([b.to_bytes()], pa.binary())})
+
+    parts = catalog_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=batch_size)
+    merged = Bloom(n_bits, k)
+    for row in parts.iter_rows():
+        merged.merge(Bloom.from_bytes(row["bloom"]))
+    return merged
+
+
+def build_exact_set(catalog_ds, column: str = "media_ref") -> set:
+    return set(r[column] for r in
+               catalog_ds.select_columns([column]).iter_rows())
+
+
+class _RefCheckBatch:
+    """Checks flattened ``<list_col>.<ref_field>`` membership against the
+    broadcast filter; emits one row per dangling ref occurrence."""
+
+    def __init__(self, side_ref, list_col: str, ref_field: str,
+                 key_column: str, exact: bool):
+        self.side_ref = side_ref  # ray.ObjectRef or the object itself
+        self.list_col = list_col
+        self.ref_field = ref_field
+        self.key_column = key_column
+        self.exact = exact
+        self._side = None
+
+    def _get_side(self):
+        if self._side is None:
+            import ray
+            obj = self.side_ref
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            self._side = obj
+        return self._side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        side = self._get_side()
+        arr = _decode(batch.column(self.list_col))
+        if not _is_list_t(arr.type):
+            raise TypeError(f"{self.list_col} is not a list column")
+        active = np.ones(len(arr), dtype=bool)
+        if arr.null_count:
+            active = np.asarray(pc.is_valid(arr)).astype(bool)
+        elems, parent, within = _flatten(arr, active)
+        refs_arr = _decode(elems.field(self.ref_field))
+        refs = refs_arr.to_numpy(zero_copy_only=False)
+        nonempty = np.array([r is not None and r != "" for r in refs],
+                            dtype=bool)
+        check = refs[nonempty]
+        if self.exact:
+            hit = np.array([r in side for r in check], dtype=bool)
+        else:
+            hit = side.contains(check.astype(object))
+        dangling_local = np.nonzero(nonempty)[0][~hit]
+        keys = batch.column(self.key_column).take(
+            pa.array(parent[dangling_local]))
+        return pa.table({
+            self.key_column: keys,
+            "span_index": pa.array(within[dangling_local].astype(np.int32)),
+            "media_ref": pa.array([refs[i] for i in dangling_local.tolist()],
+                                  pa.string()),
+        })
+
+
+def check_references(docs_ds, catalog_ds, *, list_col: str = "spans",
+                     ref_field: str = "media_ref",
+                     key_column: str = "doc_id", exact: bool = False,
+                     fpr: float = 0.01, batch_size: int = 8192,
+                     concurrency=None):
+    """Dangling-reference Dataset: (key, span_index, media_ref).
+
+    The side input is built once on the driver and broadcast via ``ray.put``
+    (read zero-copy-ish by every task), never re-shipped per batch.
+    """
+    import ray
+
+    side = (build_exact_set(catalog_ds, ref_field) if exact
+            else build_bloom(catalog_ds, ref_field, fpr=fpr))
+    side_ref = ray.put(side)
+    return docs_ds.map_batches(
+        _RefCheckBatch(side_ref, list_col, ref_field, key_column, exact),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)

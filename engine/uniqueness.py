@@ -1,0 +1,60 @@
+"""Global key-uniqueness check: salted two-phase groupby with skew handling.
+
+North-rule requirement: exact duplicate detection on ``doc_id`` at 10^12-doc
+scale where one hot key may hold ~0.1N duplicates. Plan (SURVEY.md §7.4):
+
+1. **In-batch combiner** (``map_batches``): collapse each batch to
+   ``(key, salt, partial_count)`` with ``salt = hash(key, row) % S`` — a hot
+   key's rows scatter over S salt lanes instead of landing in one group.
+2. **Salted groupby**: sum partial counts per ``(key, salt)`` — the shuffle
+   moves pre-aggregated rows only, and no single group exceeds ~1/S of the
+   hot key's rows.
+3. **Final groupby**: sum per ``key`` over at most S rows per key; filter
+   ``count > 1``.
+
+Output schema: ``(key, dup_count)`` for keys appearing more than once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from engine.sketches import hash64
+
+
+class _KeyCountBatch:
+    def __init__(self, key: str, salt_buckets: int):
+        self.key = key
+        self.salt = salt_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(keys, return_counts=True)
+        # salt derived from the batch content so the same key in different
+        # batches lands in different lanes (that's what splits a hot key)
+        salt = (hash64(uniq, seed=7)
+                ^ np.uint64(len(batch))) % np.uint64(self.salt)
+        return pa.table({
+            "key": pa.array(uniq.tolist()),
+            "salt": pa.array(salt.astype(np.int32)),
+            "partial": pa.array(counts.astype(np.int64)),
+        })
+
+
+def duplicate_keys(ds, key: str = "doc_id", *, salt_buckets: int = 16,
+                   batch_size: int = 65536, concurrency=None):
+    """Keys occurring more than once: Dataset of (key, dup_count)."""
+    partials = ds.map_batches(
+        _KeyCountBatch(key, salt_buckets), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)
+    salted = partials.groupby(["key", "salt"]).sum("partial")
+    totals = salted.groupby("key").sum("sum(partial)")
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cnt = b.column("sum(sum(partial))")
+        out = pa.table({"key": b.column("key"), "dup_count": cnt})
+        return out.filter(pc.greater(cnt, 1))
+
+    return totals.map_batches(_finalize, batch_format="pyarrow")
