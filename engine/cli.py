@@ -1,0 +1,122 @@
+"""CLI: ``python -m engine.cli <verb>`` — mirrors the reference's
+``jsonschemars validate|generate`` verbs (``cli/mod.rs:11-135``) plus the
+corpus verbs the Ray engine adds. This module OWNS the Ray session (guarded);
+library modules never init Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus=None):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, log_to_driver=False)
+
+
+def cmd_validate_doc(args) -> int:
+    """Single-document validation (reference ``validate`` verb parity):
+    schema + JSON payload -> one line per error on stderr, exit 1 on invalid."""
+    from engine.errors import render_message
+    from engine.oracle import validate
+    from engine.schema import parse_schema, parse_schema_path
+
+    schema = (parse_schema(sys.stdin.read(), strict=args.strict)
+              if args.schema == "-" else
+              parse_schema_path(args.schema, strict=args.strict))
+    payload = (json.load(sys.stdin) if args.payload == "-"
+               else json.load(open(args.payload)))
+    errs = validate(schema, payload)
+    for e in errs:
+        print(render_message(e), file=sys.stderr)
+    if errs:
+        print(f"validation failed with {len(errs)} error(s)", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_synth(args) -> int:
+    _ray_init(args.num_cpus)
+    from engine.synth import build_corpus
+    d = build_corpus(args.sf_dir, args.out, replicate=args.replicate,
+                     partitions=args.partitions, seed=args.seed)
+    print(d)
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Corpus validation job with checkpoint/resume."""
+    _ray_init(args.num_cpus)
+    from engine.checkpoint import run_validation_job
+    from engine.dataset import DOC_SCHEMA_JSON
+    schema_json = (open(args.schema).read() if args.schema
+                   else DOC_SCHEMA_JSON)
+    summary = run_validation_job(
+        args.input, args.out, schema_json=schema_json,
+        catalog_path=args.catalog, max_units=args.max_units,
+        baseline_exclude=args.baseline_exclude.split(",")
+        if args.baseline_exclude else ())
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    _ray_init(args.num_cpus)
+    import ray.data
+    from engine.stats import column_stats
+    ds = ray.data.read_parquet(args.input)
+    df = column_stats(ds).to_pandas()
+    print(df.to_string())
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="engine")
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    p = sub.add_parser("validate-doc", help="validate one JSON payload")
+    p.add_argument("-s", "--schema", required=True)
+    p.add_argument("-p", "--payload", default="-")
+    p.add_argument("--strict", action="store_true",
+                   help="disallow unknown schema fields")
+    p.set_defaults(fn=cmd_validate_doc)
+
+    p = sub.add_parser("synth", help="build the spans corpus")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--out", required=True)
+    p.add_argument("--replicate", type=int, default=1)
+    p.add_argument("--partitions", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("validate", help="checkpointed corpus validation job")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--schema", default=None)
+    p.add_argument("--catalog", default=None)
+    p.add_argument("--max-units", type=int, default=None)
+    p.add_argument("--baseline-exclude", default="")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("stats", help="per-column stats")
+    p.add_argument("--input", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
