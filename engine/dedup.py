@@ -1,0 +1,406 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five dedup families, each Ray-Data-first (combiner inside ``map_batches``
+before any shuffle; the shuffle key is always a short hash, never the text):
+
+* **exact**: md5(text) groups -> keep lowest doc_id (hash-partition + per-group
+  first; md5 so a DuckDB oracle can reproduce it bit-for-bit).
+* **MinHash + LSH**: word-shingle -> K minhashes (one base hash per shingle +
+  K cheap splitmix re-mixes, per-doc min via reduceat) -> band buckets ->
+  within-bucket candidate pairs -> signature-similarity filter.
+* **SimHash**: 64-bit sign-of-weighted-sum fingerprints; near-dup candidates
+  by exact match on any of 4 16-bit chunks (Hamming<=3 guaranteed recall for
+  <=3-bit flips by pigeonhole).
+* **n-gram Jaccard**: exact verification kernel for candidate pairs.
+* **embedding cosine**: random-hyperplane LSH buckets -> within-bucket cosine
+  >= threshold (brute-force verify for small buckets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from engine.sketches import _splitmix, hash64
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def _md5_hex(texts) -> list[str]:
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def exact_duplicates(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                     batch_size: int = 8192, concurrency=None):
+    """Groups of byte-identical texts: (text_hash, keep_id, dup_count).
+
+    In-batch combiner first, so the groupby shuffles one row per distinct
+    text per batch (md5 keys, 32 bytes) — never the text bytes.
+    """
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = np.array(_md5_hex(batch.column(text_col).to_pylist()),
+                     dtype=object)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"text_hash": h, "k": keys})
+        g = df.groupby("text_hash")["k"].agg(["min", "count"]).reset_index()
+        return pa.table({
+            "text_hash": pa.array(g["text_hash"], pa.string()),
+            "keep_id": pa.array(g["min"].astype(np.int64)),
+            "cnt": pa.array(g["count"].astype(np.int64)),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency)
+    from ray.data.aggregate import Min, Sum
+    agg = partials.groupby("text_hash").aggregate(
+        Min("keep_id"), Sum("cnt"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": b.column("text_hash"),
+            "keep_id": b.column("min(keep_id)"),
+            "dup_count": b.column("sum(cnt)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+
+
+def _doc_shingle_hashes(texts: list, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened 64-bit hashes of word n-gram shingles + doc offsets."""
+    all_shingles: list = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        if len(words) < n:
+            sh = [" ".join(words)] if words else []
+        else:
+            sh = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
+        all_shingles.extend(sh)
+        counts[i] = len(sh)
+    if all_shingles:
+        h = hash64(np.array(all_shingles, dtype=object))
+    else:
+        h = np.zeros(0, dtype=np.uint64)
+    return h, counts
+
+
+def minhash_signatures_batch(texts: list, k: int = 64,
+                             shingle_n: int = 3) -> np.ndarray:
+    """(len(texts), k) uint64 signature matrix; empty docs get all-max."""
+    h, counts = _doc_shingle_hashes(texts, shingle_n)
+    sig = np.full((len(texts), k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = counts > 0
+    if not nonempty.any():
+        return sig
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    sel_starts = starts[nonempty]
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            hj = _splitmix(h, j + 101)
+            mins = np.minimum.reduceat(hj, sel_starts)
+            sig[nonempty, j] = mins
+    return sig
+
+
+class _MinHashBandBatch:
+    """batch -> (band, band_hash, key, signature) rows for the LSH groupby."""
+
+    def __init__(self, text_col: str, key_col: str, k: int, bands: int,
+                 shingle_n: int):
+        self.text_col = text_col
+        self.key_col = key_col
+        self.k = k
+        self.bands = bands
+        self.r = k // bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        sig = minhash_signatures_batch(texts, self.k, self.shingle_n)
+        n = len(texts)
+        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        out_key = np.tile(keys, self.bands)
+        bh = np.empty(self.bands * n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                chunk = sig[:, b * self.r:(b + 1) * self.r]
+                acc = np.zeros(n, dtype=np.uint64)
+                for c in range(self.r):
+                    acc = _splitmix(acc ^ chunk[:, c], b + 7)
+                bh[b * n:(b + 1) * n] = acc
+        sig_bytes = np.array([sig[i].tobytes() for i in range(n)],
+                             dtype=object)
+        return pa.table({
+            "band": pa.array(out_band),
+            "band_hash": pa.array(bh, pa.uint64()),
+            "key": pa.array(out_key.tolist()),
+            "sig": pa.array(np.tile(sig_bytes, self.bands).tolist(),
+                            pa.binary()),
+        })
+
+
+def _bucket_pairs(df, threshold: float, k: int):
+    """Candidate pairs within one (band, band_hash) bucket; estimated
+    jaccard from signature agreement."""
+    import pandas as pd
+    rows = []
+    keys = df["key"].to_numpy()
+    sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig"]])
+    order = np.argsort(keys)
+    keys, sigs = keys[order], sigs[order]
+    seen = set()
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            if keys[i] == keys[j] or (keys[i], keys[j]) in seen:
+                continue
+            seen.add((keys[i], keys[j]))
+            est = float((sigs[i] == sigs[j]).mean())
+            if est >= threshold:
+                rows.append({"key_a": keys[i], "key_b": keys[j],
+                             "est_jaccard": est})
+    return pd.DataFrame(rows, columns=["key_a", "key_b", "est_jaccard"])
+
+
+def minhash_near_duplicates(ds, *, text_col: str = "text",
+                            key_col: str = "doc_id", k: int = 64,
+                            bands: int = 16, shingle_n: int = 3,
+                            threshold: float = 0.7,
+                            batch_size: int = 8192, concurrency=None):
+    """Near-duplicate pairs (key_a, key_b, est_jaccard) with est >= threshold.
+
+    Shuffle volume: (bands x docs) rows of (int32, uint64, key, K*8B sig) —
+    signatures ride along so verification happens inside the bucket groupby
+    without a second pass over the corpus.
+    """
+    import pandas as pd
+
+    banded = ds.map_batches(
+        _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        lambda df: _bucket_pairs(df, threshold, k), batch_format="pandas")
+    # a pair can surface from several bands: dedup on (key_a, key_b)
+    from ray.data.aggregate import Max
+    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Max("est_jaccard"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key_a": b.column("key_a"), "key_b": b.column("key_b"),
+            "est_jaccard": b.column("max(est_jaccard)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash_batch(texts: list, shingle_n: int = 2) -> np.ndarray:
+    """64-bit simhash per text (sign of token-hash bit-vote sums)."""
+    h, counts = _doc_shingle_hashes(texts, shingle_n)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(h) == 0:
+        return out
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32) * 2 - 1  # (tokens, 64) in {-1,1}
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nonempty = counts > 0
+    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
+    fp = (sums > 0).astype(np.uint64)
+    vals = np.zeros(len(sums), dtype=np.uint64)
+    for b in range(64):
+        vals |= fp[:, b] << np.uint64(b)
+    out[nonempty] = vals
+    return out
+
+
+def simhash_fingerprints(ds, *, text_col: str = "text",
+                         key_col: str = "doc_id", shingle_n: int = 2,
+                         batch_size: int = 8192, concurrency=None):
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = simhash_batch(batch.column(text_col).to_pylist(), shingle_n)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "simhash": pa.array(fps, pa.uint64()),
+        })
+
+    return ds.map_batches(_fp, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def simhash_near_duplicates(ds, *, text_col: str = "text",
+                            key_col: str = "doc_id", max_hamming: int = 3,
+                            shingle_n: int = 2, batch_size: int = 8192,
+                            concurrency=None):
+    """Pairs with Hamming(simhash) <= max_hamming via 4x16-bit chunk LSH
+    (any pair within 3 bits must agree on >=1 chunk)."""
+    import pandas as pd
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        fps = simhash_batch(batch.column(text_col).to_pylist(), shingle_n)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(fps)
+        rows = {"chunk": [], "chunk_val": [], "key": [], "simhash": []}
+        for c in range(4):
+            rows["chunk"].extend([c] * n)
+            rows["chunk_val"].extend(
+                ((fps >> np.uint64(16 * c)) & np.uint64(0xFFFF)).tolist())
+            rows["key"].extend(keys.tolist())
+            rows["simhash"].extend(fps.tolist())
+        return pa.table({
+            "chunk": pa.array(rows["chunk"], pa.int32()),
+            "chunk_val": pa.array(rows["chunk_val"], pa.int32()),
+            "key": pa.array(rows["key"]),
+            "simhash": pa.array(rows["simhash"], pa.uint64()),
+        })
+
+    def _pairs(df):
+        keys = df["key"].to_numpy()
+        fps = df["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if keys[i] == keys[j]:
+                    continue
+                d = int(bin(int(fps[i]) ^ int(fps[j])).count("1"))
+                if d <= max_hamming:
+                    a, b = sorted((keys[i], keys[j]))
+                    out.append({"key_a": a, "key_b": b, "hamming": d})
+        return pd.DataFrame(out, columns=["key_a", "key_b", "hamming"])
+
+    chunked = ds.map_batches(_chunks, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=batch_size,
+                             concurrency=concurrency)
+    pairs = chunked.groupby(["chunk", "chunk_val"]).map_groups(
+        _pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Min("hamming"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"key_a": b.column("key_a"),
+                         "key_b": b.column("key_b"),
+                         "hamming": b.column("min(hamming)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (verification kernel)
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3,
+                  mode: str = "word") -> float:
+    def grams(t: str) -> set:
+        if mode == "word":
+            w = (t or "").lower().split()
+            if len(w) < n:
+                return {" ".join(w)} if w else set()
+            return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+        t = (t or "").lower()
+        return {t[i:i + n] for i in range(max(len(t) - n + 1, 0))} or set()
+
+    a, b = grams(text_a), grams(text_b)
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
+                         key_col: str = "doc_id", n: int = 3,
+                         threshold: float = 0.6):
+    """Exact-jaccard verification of candidate pairs against a broadcast
+    key->text lookup (pairs are sparse; texts fetched once via ray.put)."""
+    import ray
+
+    lookup = {r[key_col]: r[text_col]
+              for r in docs_ds.select_columns([key_col, text_col]).iter_rows()}
+    ref = ray.put(lookup)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        texts = _ray.get(ref)
+        ka = batch.column("key_a").to_pylist()
+        kb = batch.column("key_b").to_pylist()
+        jac = [ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
+               for a, b in zip(ka, kb)]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        import pyarrow.compute as pc
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return ds_pairs.map_batches(_verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random hyperplane LSH)
+
+
+def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
+                              key_col: str = "vec_id", dim: int = 64,
+                              n_planes: int = 12, threshold: float = 0.95,
+                              seed: int = 13, batch_size: int = 8192,
+                              concurrency=None):
+    """Pairs with cosine >= threshold: sign-LSH bucket then in-bucket verify."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        from engine.similarity import _batch_matrix
+        mat = _batch_matrix(batch, vec_col)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = mat / norm
+        signs = (unit @ planes) > 0
+        bucket = np.zeros(len(batch), dtype=np.int64)
+        for p in range(n_planes):
+            bucket |= signs[:, p].astype(np.int64) << p
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "key": batch.column(key_col),
+            "vec": pa.array([unit[i].tobytes() for i in range(len(batch))],
+                            pa.binary()),
+        })
+
+    def _pairs(df):
+        keys = df["key"].to_numpy()
+        mat = np.stack([np.frombuffer(b, dtype=np.float64)
+                        for b in df["vec"]])
+        sims = mat @ mat.T
+        out = []
+        n = len(keys)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if keys[i] != keys[j] and sims[i, j] >= threshold:
+                    a, b = sorted((int(keys[i]), int(keys[j])))
+                    out.append({"key_a": a, "key_b": b,
+                                "cosine": float(sims[i, j])})
+        return pd.DataFrame(out, columns=["key_a", "key_b", "cosine"])
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency)
+    pairs = bucketed.groupby("bucket").map_groups(
+        _pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Max("cosine"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"key_a": b.column("key_a"),
+                         "key_b": b.column("key_b"),
+                         "cosine": b.column("max(cosine)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -1,0 +1,171 @@
+"""Relational pipelines: partial-aggregate groupbys, broadcast joins, windowed
+event aggregates — the generic query surface (every one DuckDB-checkable).
+
+Patterns (the point, at 100 TB):
+* groupbys pre-aggregate inside ``map_batches`` (few groups -> each batch
+  collapses to group-count rows) before the small shuffle;
+* small dimension tables broadcast via ``ray.put`` and hash-lookup inside
+  ``map_batches`` — never a data-data shuffle join;
+* event windows bucket by ``date_trunc`` inside the batch then groupby the
+  (already tiny) bucket rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def q1_pricing_summary(lineitem_ds, *, batch_size: int = 65536,
+                       concurrency=None):
+    """TPC-H Q1-style multi-aggregate groupby over lineitem."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_numpy(
+                zero_copy_only=False),
+            "l_linestatus": batch.column("l_linestatus").to_numpy(
+                zero_copy_only=False),
+            "qty": batch.column("l_quantity").to_numpy(zero_copy_only=False),
+            "price": batch.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            "disc": batch.column("l_discount").to_numpy(zero_copy_only=False),
+        })
+        df["disc_price"] = df["price"] * (1.0 - df["disc"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price=("price", "sum"),
+            sum_disc_price=("disc_price", "sum"), count_order=("qty", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = lineitem_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    from ray.data.aggregate import Sum
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty"), Sum("sum_base_price"), Sum("sum_disc_price"),
+        Sum("count_order"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b.column("sum(count_order)"), pa.float64())
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": b.column("sum(sum_qty)"),
+            "sum_base_price": b.column("sum(sum_base_price)"),
+            "sum_disc_price": b.column("sum(sum_disc_price)"),
+            "avg_qty": pc.divide(b.column("sum(sum_qty)"), cnt),
+            "count_order": b.column("sum(count_order)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def revenue_by_segment(orders_ds, customer_ds, *, batch_size: int = 65536,
+                       concurrency=None):
+    """orders x customer broadcast hash join -> revenue per market segment."""
+    import ray
+
+    cust = customer_ds.select_columns(
+        ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup = dict(zip(cust["c_custkey"].astype(np.int64),
+                      cust["c_mktsegment"]))
+    ref = ray.put(lookup)
+
+    class _JoinAgg:
+        def __init__(self, side):
+            self._ref = side
+            self._lut = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+            if self._lut is None:
+                self._lut = ray.get(self._ref)
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            price = batch.column("o_totalprice").to_numpy(
+                zero_copy_only=False)
+            seg = np.array([self._lut.get(int(k)) for k in keys],
+                           dtype=object)
+            df = pd.DataFrame({"c_mktsegment": seg, "p": price})
+            df = df[df["c_mktsegment"].notna()]
+            g = df.groupby("c_mktsegment", sort=False).agg(
+                revenue=("p", "sum"), n_orders=("p", "size")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = orders_ds.map_batches(
+        _JoinAgg(ref), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    from ray.data.aggregate import Sum
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue"), Sum("n_orders"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "revenue": b.column("sum(revenue)"),
+            "n_orders": b.column("sum(n_orders)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def events_per_user_hour(events_ds, *, batch_size: int = 65536,
+                         concurrency=None):
+    """Windowed aggregate: events bucketed to (user, hour) with count +
+    value sum (streaming-friendly: buckets partial-aggregated per batch)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = batch.column("ts")
+        hour = pc.floor_temporal(ts, unit="hour")
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(
+                zero_copy_only=False),
+            "hour": hour.to_numpy(zero_copy_only=False),
+            "value": batch.column("value").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["user_id", "hour"], sort=False).agg(
+            n_events=("value", "size"),
+            value_sum=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    from ray.data.aggregate import Sum
+    agg = partials.groupby(["user_id", "hour"]).aggregate(
+        Sum("n_events"), Sum("value_sum"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "hour": b.column("hour"),
+            "n_events": b.column("sum(n_events)"),
+            "value_sum": b.column("sum(value_sum)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
+    """Global top-k event types by count (partial counts -> tiny sort)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        u, c = np.unique(et, return_counts=True)
+        return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    partials = events_ds.map_batches(_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     batch_size=batch_size)
+    agg = partials.groupby("event_type").sum("cnt")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b.column("event_type"),
+                         "n_events": b.column("sum(cnt)")})
+
+    out = agg.map_batches(_final, batch_format="pyarrow")
+    return out.sort("n_events", descending=True).limit(k)

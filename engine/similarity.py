@@ -1,0 +1,184 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* **Brute-force cosine top-k** (the exactness baseline): the query matrix is
+  broadcast once (``ray.put``); each ``map_batches`` task does one numpy
+  matmul against its batch and keeps a per-batch top-k partial; the global
+  merge sees only (batches x queries x k) rows.
+* **IVF top-k** (the scale path): a k-means-lite codebook trained on a driver
+  sample partitions vectors into cells; queries probe the ``nprobe`` nearest
+  cells, so each batch scores only vectors whose cell is probed — at 10^12
+  vectors this turns a full scan into a cells-probed fraction. Recall is
+  approximate by construction; the brute-force path is the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> / fixed_size_list /
+    Ray-tensor-extension column."""
+    from engine.kernels import _decode
+    arr = batch.column(vec_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr.type, pa.ExtensionType):
+        np_arr = arr.to_numpy(zero_copy_only=False)
+        if getattr(np_arr, "dtype", None) == object:
+            return np.stack([np.asarray(v, dtype=np.float64)
+                             for v in np_arr])
+        return np.asarray(np_arr, dtype=np.float64).reshape(len(arr), -1)
+    arr = _decode(arr)
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float64).reshape(len(arr), -1)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return mat / norm
+
+
+class _TopKBatch:
+    def __init__(self, queries_ref, vec_col: str, key_col: str, k: int):
+        self.queries_ref = queries_ref
+        self.vec_col = vec_col
+        self.key_col = key_col
+        self.k = k
+        self._q = None
+
+    def _queries(self):
+        if self._q is None:
+            import ray
+            q = self.queries_ref
+            self._q = ray.get(q) if isinstance(q, ray.ObjectRef) else q
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = self._queries()  # (nq, dim), unit rows
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = mat @ q.T  # (n, nq)
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        n, nq = sims.shape
+        k = min(self.k, n)
+        out = {"query_id": [], "key": [], "cosine": []}
+        for qi in range(nq):
+            col = sims[:, qi]
+            idx = np.argpartition(-col, k - 1)[:k] if k < n else np.arange(n)
+            out["query_id"].extend([qi] * len(idx))
+            out["key"].extend(keys[idx].tolist())
+            out["cosine"].extend(col[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int32()),
+            "key": pa.array(out["key"]),
+            "cosine": pa.array(out["cosine"], pa.float64()),
+        })
+
+
+def _merge_topk(df, k: int):
+    # deterministic tiebreak: cosine desc, key asc
+    df = df.sort_values(["cosine", "key"], ascending=[False, True]).head(k)
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int32)
+    return df
+
+
+def cosine_topk(ds, queries: np.ndarray, *, vec_col: str = "embedding",
+                key_col: str = "vec_id", k: int = 10,
+                batch_size: int = 8192, concurrency=None):
+    """Exact top-k by cosine for each query row: Dataset of
+    (query_id, key, cosine, rank)."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(q)
+    partials = ds.map_batches(
+        _TopKBatch(qref, vec_col, key_col, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF
+
+
+def train_codebook(ds, *, vec_col: str = "embedding", n_cells: int = 16,
+                   sample_rows: int = 4096, iters: int = 8,
+                   seed: int = 5) -> np.ndarray:
+    """k-means-lite on a driver-side sample -> (n_cells, dim) unit centroids."""
+    sample = ds.limit(sample_rows).to_pandas()
+    mat = _normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)),
+                           replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             k: int = 10, nprobe: int = 4, batch_size: int = 8192,
+             concurrency=None):
+    """Approximate top-k: score only vectors in the nprobe cells nearest to
+    each query."""
+    import ray
+    import pandas as pd
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ codebook.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    side = ray.put((q, codebook, probes))
+
+    class _IvfBatch:
+        def __init__(self, side_ref, vec_col, key_col, k):
+            self.side_ref = side_ref
+            self.vec_col, self.key_col, self.k = vec_col, key_col, k
+            self._side = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._side is None:
+                self._side = ray.get(self.side_ref)
+            qm, cb, prb = self._side
+            mat = _normalize(_batch_matrix(batch, self.vec_col))
+            cells = np.argmax(mat @ cb.T, axis=1)
+            keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "key": [], "cosine": []}
+            for qi in range(len(qm)):
+                mask = np.isin(cells, prb[qi])
+                if not mask.any():
+                    continue
+                sub = mat[mask]
+                col = sub @ qm[qi]
+                kk = min(self.k, len(sub))
+                idx = (np.argpartition(-col, kk - 1)[:kk]
+                       if kk < len(sub) else np.arange(len(sub)))
+                sel = np.nonzero(mask)[0][idx]
+                out["query_id"].extend([qi] * len(sel))
+                out["key"].extend(keys[sel].tolist())
+                out["cosine"].extend(col[idx].tolist())
+            return pa.table({
+                "query_id": pa.array(out["query_id"], pa.int32()),
+                "key": pa.array(out["key"]),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            })
+
+    partials = ds.map_batches(
+        _IvfBatch(side, vec_col, key_col, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")

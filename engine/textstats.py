@@ -1,0 +1,197 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot paths are vectorized ``pyarrow.compute`` regex/length kernels; the
+stopword/langid marker scans use precompiled alternation regexes evaluated by
+``pc.count_substring_regex`` — no per-row Python in the scoring stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.sketches import _splitmix, hash64
+
+#: Tiny per-language marker-word profiles (top function words). The langid is
+#: a heuristic n-gram/marker scorer, not a model — by design (no ML deps).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+                "that", "for", "on", "with", "as", "at", "by", "this")
+
+
+def token_count_batch(texts: pa.Array) -> pa.Array:
+    """Whitespace token count == number of maximal ``\\S+`` runs."""
+    return pc.count_substring_regex(texts, r"\S+")
+
+
+def token_counts(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                 batch_size: int = 8192, concurrency=None):
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_tokens": pc.cast(pc.fill_null(token_count_batch(t), 0),
+                                pa.int64()),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_counts(ds, *, text_col: str = "text",
+                         key_col: str = "doc_id", batch_size: int = 8192,
+                         concurrency=None):
+    """BPE-ish proxy count: letter runs + single digits + punctuation marks
+    (a deterministic regex stand-in for a tokenizer vocabulary)."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_bpe_tokens": pc.cast(
+                pc.fill_null(pc.count_substring_regex(t, _BPE_ISH), 0),
+                pa.int64()),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def quality_scores(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                   batch_size: int = 8192, concurrency=None):
+    """Length / punctuation / digit / uppercase / stopword ratios per doc."""
+    stop_rx = r"(?i)\b(" + "|".join(STOPWORDS_EN) + r")\b"
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        n_chars = pc.cast(pc.fill_null(pc.utf8_length(t), 0), pa.float64())
+        n_tok = pc.cast(pc.fill_null(token_count_batch(t), 0), pa.float64())
+        n_punct = pc.cast(pc.fill_null(
+            pc.count_substring_regex(t, r"[.,!?;:]"), 0), pa.float64())
+        n_digit = pc.cast(pc.fill_null(
+            pc.count_substring_regex(t, r"[0-9]"), 0), pa.float64())
+        n_upper = pc.cast(pc.fill_null(
+            pc.count_substring_regex(t, r"[A-Z]"), 0), pa.float64())
+        n_stop = pc.cast(pc.fill_null(
+            pc.count_substring_regex(t, stop_rx), 0), pa.float64())
+        denom_c = pc.max_element_wise(n_chars, 1.0)
+        denom_t = pc.max_element_wise(n_tok, 1.0)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tok, pa.int64()),
+            "punct_ratio": pc.divide(n_punct, denom_c),
+            "digit_ratio": pc.divide(n_digit, denom_c),
+            "upper_ratio": pc.divide(n_upper, denom_c),
+            "stopword_ratio": pc.divide(n_stop, denom_t),
+            "mean_token_len": pc.divide(
+                pc.cast(pc.fill_null(
+                    pc.count_substring_regex(t, r"\S"), 0), pa.float64()),
+                denom_t),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+class LangIdBatch:
+    """Marker-word language scorer (actor pool stage: the alternation
+    regexes compile once per actor)."""
+
+    def __init__(self, text_col: str = "text", key_col: str = "doc_id"):
+        self.text_col = text_col
+        self.key_col = key_col
+        self.rx = {lang: r"(?i)\b(" + "|".join(words) + r")\b"
+                   for lang, words in LANG_MARKERS.items()}
+        self.cjk = r"[\x{4e00}-\x{9fff}]"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.column(self.text_col)
+        n_tok = pc.cast(pc.fill_null(token_count_batch(t), 0),
+                        pa.float64()).to_numpy(zero_copy_only=False)
+        denom = np.maximum(n_tok, 1.0)
+        scores = {}
+        for lang, rx in self.rx.items():
+            c = pc.cast(pc.fill_null(pc.count_substring_regex(t, rx), 0),
+                        pa.float64()).to_numpy(zero_copy_only=False)
+            scores[lang] = c / denom
+        cjk = pc.cast(pc.fill_null(pc.count_substring_regex(t, self.cjk), 0),
+                      pa.float64()).to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(pc.fill_null(pc.utf8_length(t), 1),
+                          pa.float64()).to_numpy(zero_copy_only=False)
+        scores["zh"] = cjk / np.maximum(n_chars, 1.0) * 5.0
+        langs = list(scores)
+        mat = np.stack([scores[l] for l in langs], axis=1)
+        best = np.argmax(mat, axis=1)
+        best_score = mat[np.arange(len(mat)), best]
+        pred = np.where(best_score > 0.01,
+                        np.array(langs, dtype=object)[best], "und")
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+            "lang_score": pa.array(best_score, pa.float64()),
+        })
+
+
+def language_id(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                batch_size: int = 8192, concurrency=None):
+    return ds.map_batches(LangIdBatch(text_col, key_col),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def fingerprint_batch(texts: list, *, window: int = 8,
+                      keep: int = 4) -> list[str]:
+    """Rolling-hash winnowing fingerprint: the ``keep`` smallest 64-bit
+    hashes of ``window``-byte rolling windows, hex-joined. Deterministic."""
+    out = []
+    with np.errstate(over="ignore"):
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            if len(b) < window:
+                h = hash64(np.array([b.decode("utf-8", "replace")],
+                                    dtype=object))
+                out.append(f"{int(h[0]):016x}")
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            # polynomial rolling hash over all windows, vectorized via cumsum
+            # of base powers: h(i) = sum arr[i+j] * B^(w-1-j) mod 2^64
+            B = np.uint64(1099511628211)
+            pw = np.empty(window, dtype=np.uint64)
+            pw[0] = 1
+            for j in range(1, window):
+                pw[j] = pw[j - 1] * B
+            n = len(arr) - window + 1
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(window):
+                acc += arr[j:j + n] * pw[window - 1 - j]
+            acc = _splitmix(acc, 99)
+            k = min(keep, n)
+            smallest = np.sort(np.partition(acc, k - 1)[:k])
+            out.append("".join(f"{int(x):016x}" for x in smallest))
+    return out
+
+
+def fingerprints(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                 window: int = 8, keep: int = 4, batch_size: int = 8192,
+                 concurrency=None):
+    def _fn(batch: pa.Table) -> pa.Table:
+        fps = fingerprint_batch(batch.column(text_col).to_pylist(),
+                                window=window, keep=keep)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "fingerprint": pa.array(fps, pa.string()),
+        })
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,268 @@
+"""Training-data operators: dedup / similarity / textstats / multimodal /
+relational — duckdb-checked where SQL can express the semantics."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rds(ray_session):
+    import ray.data
+
+    def load(name):
+        return ray.data.read_parquet(f"{SF}/{name}.parquet")
+    return load
+
+
+class TestExactDedup:
+    def test_vs_duckdb(self, rds):
+        from engine.dedup import exact_duplicates
+        got = exact_duplicates(rds("documents")).to_pandas().sort_values(
+            "text_hash").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select md5(text) text_hash, min(doc_id) keep_id,
+                   count(*) dup_count
+            from read_parquet('{SF}/documents.parquet')
+            group by md5(text) order by text_hash
+        """).df()
+        assert got.equals(exp)
+
+
+class TestMinHash:
+    def test_signatures_similarity_monotone(self):
+        from engine.dedup import minhash_signatures_batch, ngram_jaccard
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = "the quick brown fox jumps over the lazy cat again and again"
+        c = "completely different words entirely unrelated content here now"
+        sig = minhash_signatures_batch([a, b, c], k=128)
+        sim_ab = (sig[0] == sig[1]).mean()
+        sim_ac = (sig[0] == sig[2]).mean()
+        assert sim_ab > 0.5 > sim_ac
+        assert ngram_jaccard(a, b) > 0.5 > ngram_jaccard(a, c)
+
+    def test_lsh_finds_injected_near_dupes(self, rds, ray_session):
+        import ray.data
+        from engine.dedup import minhash_near_duplicates, verify_pairs_jaccard
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        # inject: copy of doc 0 with tiny edit, under new ids
+        extra = docs.head(2).copy()
+        extra["doc_id"] = [9001, 9002]
+        extra.loc[extra.index[0], "text"] = (
+            docs["text"].iloc[0] + " tail")
+        extra.loc[extra.index[1], "text"] = docs["text"].iloc[1]
+        import pandas as pd
+        all_docs = pd.concat([docs, extra], ignore_index=True)
+        ds = ray.data.from_pandas(all_docs)
+        pairs = minhash_near_duplicates(ds, threshold=0.5).to_pandas()
+        got_pairs = set(map(tuple, pairs[["key_a", "key_b"]].values))
+        assert (0, 9001) in got_pairs
+        assert (1, 9002) in got_pairs
+        verified = verify_pairs_jaccard(
+            minhash_near_duplicates(ds, threshold=0.5), ds,
+            threshold=0.5).to_pandas()
+        v = verified.set_index(["key_a", "key_b"])["jaccard"]
+        assert v.loc[(1, 9002)] == 1.0
+        assert 0.5 <= v.loc[(0, 9001)] <= 1.0
+
+
+class TestSimHash:
+    def test_identical_and_near_docs(self, rds, ray_session):
+        import ray.data
+        import pandas as pd
+        from engine.dedup import simhash_near_duplicates
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(50)
+        extra = docs.head(1).copy()
+        extra["doc_id"] = [9100]
+        all_docs = pd.concat([docs, extra], ignore_index=True)
+        pairs = simhash_near_duplicates(
+            ray.data.from_pandas(all_docs)).to_pandas()
+        got = set(map(tuple, pairs[["key_a", "key_b"]].values))
+        assert (0, 9100) in got
+        assert pairs.set_index(["key_a", "key_b"])["hamming"].loc[(0, 9100)] == 0
+
+
+class TestEmbeddingDedup:
+    def test_injected_near_identical_vectors(self, rds, ray_session):
+        import ray.data
+        from engine.dedup import embedding_near_duplicates
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        emb = t.to_pandas()
+        twin = emb.head(1).copy()
+        twin["vec_id"] = [9200]
+        twin["embedding"] = [
+            (np.array(emb["embedding"].iloc[0]) * 1.001).tolist()]
+        import pandas as pd
+        all_e = pd.concat([emb, twin], ignore_index=True)
+        pairs = embedding_near_duplicates(
+            ray.data.from_pandas(all_e), threshold=0.99).to_pandas()
+        got = set(map(tuple, pairs[["key_a", "key_b"]].values))
+        assert (0, 9200) in got
+
+
+class TestSimilarity:
+    def test_brute_force_topk_vs_duckdb(self, rds, ray_session):
+        from engine.similarity import cosine_topk
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        queries = np.stack([np.asarray(emb["embedding"].iloc[i])
+                            for i in (0, 7)])
+        got = cosine_topk(rds("embeddings"), queries, k=5).to_pandas()
+        got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        # exact numpy oracle
+        mat = np.stack([np.asarray(v) for v in emb["embedding"]]).astype(
+            np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        q = queries.astype(np.float64)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        sims = mat @ q.T
+        for qi in (0, 1):
+            order = sorted(zip(-sims[:, qi], emb["vec_id"]))[:5]
+            exp_keys = [k for _, k in order]
+            sub = got[got["query_id"] == qi]
+            assert list(sub["key"]) == exp_keys
+            assert np.allclose(sub["cosine"], [-s for s, _ in order])
+
+    def test_ivf_recall(self, rds, ray_session):
+        from engine.similarity import cosine_topk, ivf_topk, train_codebook
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        queries = np.stack([np.asarray(emb["embedding"].iloc[i])
+                            for i in (3, 11, 42)])
+        exact = cosine_topk(rds("embeddings"), queries, k=10).to_pandas()
+        cb = train_codebook(rds("embeddings"), n_cells=8)
+        approx = ivf_topk(rds("embeddings"), queries, cb, k=10,
+                          nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(3):
+            e = set(exact[exact["query_id"] == qi]["key"])
+            a = set(approx[approx["query_id"] == qi]["key"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6  # nprobe=4 of 8 cells
+
+
+class TestTextStats:
+    def test_token_counts_vs_duckdb(self, rds):
+        from engine.textstats import token_counts
+        got = token_counts(rds("documents")).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select doc_id, length(text) - length(replace(text, ' ', ''))
+                   + (case when length(trim(text)) > 0 then 1 else 0 end)
+                   as n_tokens
+            from read_parquet('{SF}/documents.parquet') order by doc_id
+        """).df()
+        # testdata text is single-space separated; formulas agree there
+        assert (got["n_tokens"] == exp["n_tokens"]).all()
+
+    def test_quality_and_langid(self, rds, ray_session):
+        import ray.data
+        import pandas as pd
+        from engine.textstats import language_id, quality_scores
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["The quick brown fox is in the yard.",
+                     "el perro y el gato en la casa que es",
+                     "der hund und die katze ist nicht ein",
+                     "这是一个中文句子的测试文本"],
+        })
+        ds = ray.data.from_pandas(df)
+        q = quality_scores(ds).to_pandas().set_index("doc_id")
+        assert q.loc[1, "n_tokens"] == 8
+        assert q.loc[1, "punct_ratio"] > 0
+        lang = language_id(ds).to_pandas().set_index("doc_id")
+        assert lang.loc[1, "lang_pred"] == "en"
+        assert lang.loc[2, "lang_pred"] == "es"
+        assert lang.loc[3, "lang_pred"] == "de"
+        assert lang.loc[4, "lang_pred"] == "zh"
+
+    def test_fingerprints_deterministic_and_discriminative(self):
+        from engine.textstats import fingerprint_batch
+        a = "some reasonably long text for fingerprinting purposes"
+        b = "another totally different document body with other words"
+        f1 = fingerprint_batch([a, b])
+        f2 = fingerprint_batch([a, b])
+        assert f1 == f2
+        assert f1[0] != f1[1]
+
+
+class TestMultimodal:
+    def test_decode_featurize_plumbing(self, ray_session):
+        import ray.data
+        from engine.multimodal import (decode_and_featurize,
+                                       synth_media_table)
+        refs = [f"media://{i:016x}" for i in range(40)]
+        t = synth_media_table(refs)
+        ds = ray.data.from_arrow(t)
+        feats = decode_and_featurize(ds, target=16, batch_size=8).to_pandas()
+        assert len(feats) == 40
+        assert feats["features"].iloc[0].shape == (10,)
+        # determinism of the stub decode
+        feats2 = decode_and_featurize(
+            ray.data.from_arrow(t), target=16, batch_size=8).to_pandas()
+        a = np.stack(feats.sort_values("media_ref")["features"].values)
+        b = np.stack(feats2.sort_values("media_ref")["features"].values)
+        assert np.allclose(a, b)
+
+    def test_frame_sampler(self, ray_session):
+        import ray.data
+        from engine.multimodal import FrameSampler, synth_media_table
+        t = synth_media_table([f"media://{i:016x}" for i in range(10)])
+        out = ray.data.from_arrow(t).map_batches(
+            FrameSampler(n_frames=3), batch_format="pyarrow",
+            batch_size=4).to_pandas()
+        assert (out["n_frames"] >= 1).all()
+        assert all(len(ix) <= 3 for ix in out["frame_indices"])
+
+
+class TestRelational:
+    def test_q1_vs_duckdb(self, rds):
+        from engine.relational import q1_pricing_summary
+        got = q1_pricing_summary(rds("lineitem")).to_pandas().sort_values(
+            ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) sum_qty,
+                   sum(l_extendedprice) sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) sum_disc_price,
+                   avg(l_quantity) avg_qty,
+                   count(*) count_order
+            from read_parquet('{SF}/lineitem.parquet')
+            group by 1, 2 order by 1, 2
+        """).df()
+        assert list(got["l_returnflag"]) == list(exp["l_returnflag"])
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+            assert np.allclose(got[c], exp[c])
+        assert (got["count_order"] == exp["count_order"]).all()
+
+    def test_broadcast_join_vs_duckdb(self, rds):
+        from engine.relational import revenue_by_segment
+        got = revenue_by_segment(
+            rds("orders"), rds("customer")).to_pandas().sort_values(
+            "c_mktsegment").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select c_mktsegment, sum(o_totalprice) revenue,
+                   count(*) n_orders
+            from read_parquet('{SF}/orders.parquet') o
+            join read_parquet('{SF}/customer.parquet') c
+              on o.o_custkey = c.c_custkey
+            group by 1 order by 1
+        """).df()
+        assert list(got["c_mktsegment"]) == list(exp["c_mktsegment"])
+        assert np.allclose(got["revenue"], exp["revenue"])
+        assert (got["n_orders"] == exp["n_orders"]).all()
+
+    def test_events_window_vs_duckdb(self, rds):
+        from engine.relational import events_per_user_hour
+        got = events_per_user_hour(rds("events")).to_pandas()
+        exp = duckdb.sql(f"""
+            select user_id, date_trunc('hour', ts) as "hour",
+                   count(*) n_events, sum(value) value_sum
+            from read_parquet('{SF}/events.parquet') group by 1, 2
+        """).df()
+        g = got.sort_values(["user_id", "hour"]).reset_index(drop=True)
+        e = exp.sort_values(["user_id", "hour"]).reset_index(drop=True)
+        assert (g["n_events"] == e["n_events"]).all()
+        assert np.allclose(g["value_sum"], e["value_sum"])
