@@ -1,44 +1,553 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported; nothing here
+calls ``ray.init``/``ray.shutdown``. Each ``queries()`` entry is one operator
+/ pipeline from SURVEY.md §2 (plus the training-data operators); each
+``oracle_sql()`` entry is the DuckDB-equivalent SQL over the pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings). Column names match exactly between the Ray result and the SQL.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-valued aggregates are rounded half-away-from-zero on BOTH sides (same
+decimals) so summation-order differences cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _read(sf_dir: str, name: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _round_half_away(x, decimals: int):
+    """Matches DuckDB ROUND (half away from zero), unlike numpy's half-even."""
+    f = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, dtype=np.float64)) * f
+                                 + 0.5) / f
+
+
+def _round_cols(df, cols: dict):
+    for c, d in cols.items():
+        df[c] = _round_half_away(df[c].to_numpy(), d)
+    return df
+
+
+#: Typed-validation schema applied to the ``documents`` table — exercises
+#: required / type / bounds / length / enum / pattern keywords on real data.
+DOCS_SCHEMA_JSON = """
+{"type": "object",
+ "required": ["doc_id", "text", "lang", "source", "n_chars"],
+ "properties": {
+   "doc_id": {"type": "integer", "minimum": 0},
+   "text":   {"type": "string", "minLength": 1, "maxLength": 400},
+   "lang":   {"enum": ["en", "de", "fr", "es"]},
+   "source": {"type": "string", "pattern": "^src[0-9]$"},
+   "n_chars": {"type": "integer", "minimum": 0, "maximum": 500}}}
+"""
+
+#: List-keyword schema applied to ``embeddings`` — array length, per-element
+#: bounds, uniqueItems, integer bounds on ``label``.
+EMB_SCHEMA_JSON = """
+{"type": "object",
+ "required": ["vec_id", "embedding", "label"],
+ "properties": {
+   "vec_id": {"type": "integer", "minimum": 0},
+   "embedding": {"type": "array", "minItems": 64, "maxItems": 64,
+                  "uniqueItems": true,
+                  "items": {"type": "number", "minimum": -0.5,
+                            "maximum": 0.45}},
+   "label": {"type": "integer", "minimum": 0, "maximum": 8}}}
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def _q_validate_documents(sf_dir: str):
+    from engine.dataset import validate_dataset
+    v = validate_dataset(_docs(sf_dir), DOCS_SCHEMA_JSON,
+                         key_column="doc_id", carry_columns=(),
+                         with_message=False)
+    return v.select_columns(["doc_id", "error_kind", "instance_path"])
+
+
+def _q_validate_embeddings(sf_dir: str):
+    from engine.dataset import validate_dataset
+    v = validate_dataset(_read(sf_dir, "embeddings"), EMB_SCHEMA_JSON,
+                         key_column="vec_id", carry_columns=(),
+                         with_message=False)
+    return v.select_columns(["vec_id", "error_kind", "instance_path"])
+
+
+def _q_stats_documents(sf_dir: str):
+    from engine.stats import column_stats
+    st = column_stats(_docs(sf_dir)).to_pandas()
+    st = st[["column", "count", "nulls", "null_rate"]].rename(
+        columns={"count": "cnt", "nulls": "n_nulls"})
+    return st.sort_values("column").reset_index(drop=True)
+
+
+def _q_duplicate_keys_lineitem(sf_dir: str):
+    from engine.uniqueness import duplicate_keys
+    d = duplicate_keys(_read(sf_dir, "lineitem"), key="l_orderkey")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("key"),
+                         "dup_count": b.column("dup_count")})
+    return d.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_referential_orders(sf_dir: str):
+    from engine.referential import count_dangling_fk
+    return count_dangling_fk(_read(sf_dir, "orders"),
+                             _read(sf_dir, "customer"),
+                             fk="o_custkey", pk="c_custkey")
+
+
+def _q_referential_lineitem_part(sf_dir: str):
+    from engine.referential import count_dangling_fk
+    return count_dangling_fk(_read(sf_dir, "lineitem"),
+                             _read(sf_dir, "part"),
+                             fk="l_partkey", pk="p_partkey")
+
+
+def _q_dedup_exact(sf_dir: str):
+    from engine.dedup import exact_duplicates
+    return exact_duplicates(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from engine.textstats import token_counts
+    return token_counts(_docs(sf_dir))
+
+
+def _q_bpe_token_counts(sf_dir: str):
+    from engine.textstats import bpe_ish_token_counts
+    return bpe_ish_token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    import pyarrow.compute as pc
+    from engine.textstats import token_count_batch
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.fill_null(pc.utf8_length(t), 0), pa.int64()),
+            "n_tokens": pc.cast(pc.fill_null(token_count_batch(t), 0),
+                                pa.int64()),
+            "n_punct": pc.cast(pc.fill_null(
+                pc.count_substring_regex(t, r"[.,!?;:]"), 0), pa.int64()),
+            "n_digits": pc.cast(pc.fill_null(
+                pc.count_substring_regex(t, r"[0-9]"), 0), pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def _q_lang_distribution(sf_dir: str):
+    ds = _docs(sf_dir).groupby("lang").count()
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b.column("lang"),
+                         "n_docs": b.column("count()")})
+    return ds.map_batches(_rename, batch_format="pyarrow")
+
+
+def _q_q1(sf_dir: str):
+    from engine.relational import q1_pricing_summary
+    df = q1_pricing_summary(_read(sf_dir, "lineitem")).to_pandas()
+    return _round_cols(df, {"sum_qty": 4, "sum_base_price": 4,
+                            "sum_disc_price": 4, "avg_qty": 4})
+
+
+def _q_revenue_by_segment(sf_dir: str):
+    from engine.relational import revenue_by_segment
+    df = revenue_by_segment(_read(sf_dir, "orders"),
+                            _read(sf_dir, "customer")).to_pandas()
+    return _round_cols(df, {"revenue": 4})
+
+
+def _q_events_window(sf_dir: str):
+    from engine.relational import events_per_user_hour
+    df = events_per_user_hour(_read(sf_dir, "events")).to_pandas()
+    return _round_cols(df, {"value_sum": 4})
+
+
+def _q_top_event_types(sf_dir: str):
+    from engine.relational import top_event_types
+    out = top_event_types(_read(sf_dir, "events"), k=5).to_pandas()
+    return out.sort_values(["n_events", "event_type"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from engine.similarity import cosine_topk
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    df = emb.to_pandas().set_index("vec_id")
+    qids = [0, 7]
+    queries = np.stack([np.asarray(df.loc[q, "embedding"]) for q in qids])
+    out = cosine_topk(_read(sf_dir, "embeddings"), queries, k=5).to_pandas()
+    out["query_id"] = out["query_id"].map({i: q for i, q in enumerate(qids)})
+    out = _round_cols(out, {"cosine": 4})
+    out = out.rename(columns={"key": "vec_id"})
+    return out[["query_id", "vec_id", "cosine", "rank"]]
+
+
+# --- rows-only queries (non-SQL-expressible; weaker driver check) ----------
+
+def _spans_corpus(sf_dir: str, partitions: int = 4):
+    from engine.synth import SynthSpans
+    return _docs(sf_dir).map_batches(
+        SynthSpans(replicate=1, partitions=partitions, seed=42),
+        batch_format="pyarrow", batch_size=4096)
+
+
+def _q_validate_spans(sf_dir: str):
+    from engine.dataset import validate_dataset
+    v = validate_dataset(_spans_corpus(sf_dir))
+    return v.select_columns(["doc_id", "error_seq", "error_kind",
+                             "instance_path", "message"])
+
+
+def _q_spans_verdicts(sf_dir: str):
+    from engine.dataset import partition_verdicts
+    return partition_verdicts(_spans_corpus(sf_dir))
+
+
+def _q_spans_drift(sf_dir: str):
+    from engine.drift import build_baseline, drift_check
+    ds = _spans_corpus(sf_dir)
+    baseline = build_baseline(ds, exclude_partitions=["p0003"])
+    return drift_check(_spans_corpus(sf_dir), baseline)
+
+
+def _q_spans_dangling_refs(sf_dir: str):
+    import ray.data
+    from engine.referential import check_references
+    from engine.synth import CATALOG_SIZE, media_ref_for
+    catalog = ray.data.from_arrow(pa.table({
+        "media_ref": [media_ref_for(i) for i in range(CATALOG_SIZE)]}))
+    return check_references(_spans_corpus(sf_dir), catalog, exact=True)
+
+
+def _q_spans_stats(sf_dir: str):
+    from engine.stats import column_stats
+    return column_stats(_spans_corpus(sf_dir))
+
+
+def _q_minhash_near_dup(sf_dir: str):
+    from engine.dedup import minhash_near_duplicates
+    return minhash_near_duplicates(_docs(sf_dir), threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from engine.dedup import simhash_fingerprints
+
+    def _cast(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # uint64 -> hex string for portable hashing by the driver
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "simhash": pa.array([f"{int(v):016x}"
+                                 for v in b.column("simhash").to_pylist()],
+                                pa.string())})
+    return simhash_fingerprints(_docs(sf_dir)).map_batches(
+        _cast, batch_format="pyarrow")
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from engine.dedup import embedding_near_duplicates
+    return embedding_near_duplicates(_read(sf_dir, "embeddings"),
+                                     threshold=0.8)
+
+
+def _q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    from engine.similarity import ivf_topk, train_codebook
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    queries = np.stack([np.asarray(v)
+                        for v in emb["embedding"].head(3)])
+    ds = _read(sf_dir, "embeddings")
+    cb = train_codebook(ds, n_cells=8)
+    return ivf_topk(ds, queries, cb, k=5, nprobe=4)
+
+
+def _q_langid(sf_dir: str):
+    from engine.textstats import language_id
+    return language_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from engine.textstats import fingerprints
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_multimodal_features(sf_dir: str):
+    import ray.data
+    from engine.multimodal import decode_and_featurize, synth_media_table
+    from engine.synth import media_ref_for
+    refs = [media_ref_for(i) for i in range(200)]
+    ds = ray.data.from_arrow(synth_media_table(refs))
+    out = decode_and_featurize(ds, target=16, batch_size=32).to_pandas()
+    out["features"] = out["features"].map(
+        lambda a: np.asarray(a, dtype=np.float32).tolist())
+    return out
+
+
+def _q_events_props_validation(sf_dir: str):
+    from engine.dataset import validate_json_column
+    schema = ('{"type":"object","required":["k"],'
+              '"properties":{"k":{"type":"integer","minimum":0,'
+              '"maximum":50}}}')
+    return validate_json_column(_read(sf_dir, "events"), schema,
+                                column="props", key_column="event_id")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
+    from documents.parquet, validate it against the FIXTURES §3 schema,
+    return the violations Dataset."""
+    return _q_validate_spans("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # keyword validation over real typed tables (SQL-checked)
+        "validate_documents": _q_validate_documents,
+        "validate_embeddings": _q_validate_embeddings,
+        # corpus-level checks
+        "stats_documents": _q_stats_documents,
+        "duplicate_keys_lineitem": _q_duplicate_keys_lineitem,
+        "referential_orders": _q_referential_orders,
+        "referential_lineitem_part": _q_referential_lineitem_part,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_fingerprints": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "quality_scores": _q_quality,
+        "lang_distribution": _q_lang_distribution,
+        "language_id": _q_langid,
+        "fingerprints": _q_fingerprints,
+        # similarity search
+        "ann_cosine_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        # relational
+        "q1_pricing_summary": _q_q1,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "events_per_user_hour": _q_events_window,
+        "top_event_types": _q_top_event_types,
+        # interleaved spans corpus (derived deterministically from documents)
+        "validate_spans": _q_validate_spans,
+        "spans_verdicts": _q_spans_verdicts,
+        "spans_drift": _q_spans_drift,
+        "spans_dangling_refs": _q_spans_dangling_refs,
+        "spans_stats": _q_spans_stats,
+        # dynamic JSON column validation
+        "events_props_validation": _q_events_props_validation,
+        # multimodal plumbing (stubbed decode, real pipeline)
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_documents": """
+            with d as (select * from documents)
+            select doc_id, 'MissingRequired' as error_kind,
+                   '/text' as instance_path from d where text is null
+            union all
+            select doc_id, 'MissingRequired', '/lang' from d
+            where lang is null
+            union all
+            select doc_id, 'MissingRequired', '/source' from d
+            where source is null
+            union all
+            select doc_id, 'MissingRequired', '/n_chars' from d
+            where n_chars is null
+            union all
+            select doc_id, 'BelowMinimum', '/doc_id' from d
+            where doc_id < 0
+            union all
+            select doc_id, 'TooShort', '/text' from d
+            where text is not null and length(text) < 1
+            union all
+            select doc_id, 'TooLong', '/text' from d
+            where text is not null and length(text) > 400
+            union all
+            select doc_id, 'NotInEnum', '/lang' from d
+            where lang is not null
+              and lang not in ('en', 'de', 'fr', 'es')
+            union all
+            select doc_id, 'PatternMismatch', '/source' from d
+            where source is not null
+              and not regexp_matches(source, '^src[0-9]$')
+            union all
+            select doc_id, 'BelowMinimum', '/n_chars' from d
+            where n_chars < 0
+            union all
+            select doc_id, 'AboveMaximum', '/n_chars' from d
+            where n_chars > 500
+        """,
+        "validate_embeddings": """
+            with e as (select * from embeddings),
+            elems as (
+              select vec_id, unnest(embedding) as v,
+                     generate_subscripts(embedding, 1) as i from e)
+            select vec_id, 'TooFewItems' as error_kind,
+                   '/embedding' as instance_path
+            from e where len(embedding) < 64
+            union all
+            select vec_id, 'TooManyItems', '/embedding' from e
+            where len(embedding) > 64
+            union all
+            select vec_id, 'DuplicateArrayItems', '/embedding' from e
+            where len(list_distinct(embedding)) <> len(embedding)
+            union all
+            select vec_id, 'BelowMinimum',
+                   '/embedding/' || (i - 1) from elems where v < -0.5
+            union all
+            select vec_id, 'AboveMaximum',
+                   '/embedding/' || (i - 1) from elems where v > 0.45
+            union all
+            select vec_id, 'BelowMinimum', '/label' from e where label < 0
+            union all
+            select vec_id, 'AboveMaximum', '/label' from e where label > 8
+        """,
+        "stats_documents": """
+            with d as (select * from documents),
+            cols as (
+              select 'doc_id' as "column",
+                     count(*) as cnt,
+                     sum(case when doc_id is null then 1 else 0
+                         end)::bigint as n_nulls from d
+              union all
+              select 'lang', count(*), sum(case when lang is null then 1
+                     else 0 end)::bigint from d
+              union all
+              select 'n_chars', count(*), sum(case when n_chars is null
+                     then 1 else 0 end)::bigint from d
+              union all
+              select 'source', count(*), sum(case when source is null
+                     then 1 else 0 end)::bigint from d
+              union all
+              select 'text', count(*), sum(case when text is null then 1
+                     else 0 end)::bigint from d)
+            select "column", cnt, n_nulls,
+                   n_nulls::double / cnt as null_rate
+            from cols order by "column"
+        """,
+        "duplicate_keys_lineitem": """
+            select l_orderkey, count(*) as dup_count
+            from lineitem group by l_orderkey having count(*) > 1
+        """,
+        "referential_orders": """
+            select count(*)::bigint as n_dangling from orders
+            where o_custkey is not null
+              and o_custkey not in (select c_custkey from customer)
+        """,
+        "referential_lineitem_part": """
+            select count(*)::bigint as n_dangling from lineitem
+            where l_partkey is not null
+              and l_partkey not in (select p_partkey from part)
+        """,
+        "dedup_exact": """
+            select md5(text) as text_hash, min(doc_id) as keep_id,
+                   count(*) as dup_count
+            from documents group by md5(text)
+        """,
+        "token_counts": r"""
+            select doc_id,
+                   len(regexp_extract_all(text, '\S+'))::bigint as n_tokens
+            from documents
+        """,
+        "bpe_token_counts": r"""
+            select doc_id,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::bigint
+                   as n_bpe_tokens
+            from documents
+        """,
+        "quality_scores": r"""
+            select doc_id,
+                   length(text)::bigint as n_chars,
+                   len(regexp_extract_all(text, '\S+'))::bigint as n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]'))::bigint
+                       as n_punct,
+                   len(regexp_extract_all(text, '[0-9]'))::bigint as n_digits
+            from documents
+        """,
+        "lang_distribution": """
+            select lang, count(*) as n_docs from documents group by lang
+        """,
+        "ann_cosine_topk": """
+            with q as (
+              select vec_id as query_id, embedding as qe
+              from embeddings where vec_id in (0, 7)),
+            scored as (
+              select q.query_id, e.vec_id,
+                     list_cosine_similarity(
+                         e.embedding::double[], q.qe::double[]) as cos
+              from embeddings e, q),
+            ranked as (
+              select query_id, vec_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, vec_id)
+                         as rank
+              from scored)
+            select query_id::int as query_id, vec_id,
+                   round(cos, 4) as cosine, rank::int as rank
+            from ranked where rank <= 5
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) as sum_qty,
+                   round(sum(l_extendedprice), 4) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       as sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) as avg_qty,
+                   count(*) as count_order
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            select c_mktsegment, round(sum(o_totalprice), 4) as revenue,
+                   count(*) as n_orders
+            from orders o join customer c on o.o_custkey = c.c_custkey
+            group by c_mktsegment
+        """,
+        "events_per_user_hour": """
+            select user_id, date_trunc('hour', ts) as "hour",
+                   count(*) as n_events,
+                   round(sum(value), 4) as value_sum
+            from events group by 1, 2
+        """,
+        "top_event_types": """
+            select event_type, count(*) as n_events from events
+            group by event_type
+            order by n_events desc, event_type limit 5
+        """,
+    }

@@ -51,6 +51,32 @@ def build_exact_set(catalog_ds, column: str = "media_ref") -> set:
                catalog_ds.select_columns([column]).iter_rows())
 
 
+def count_dangling_fk(fact_ds, dim_ds, *, fk: str, pk: str,
+                      batch_size: int = 65536, concurrency=None):
+    """Generic FK check: count of fact rows whose ``fk`` is not a ``pk`` of
+    the dimension table. Broadcast semi-join: the dimension key set ships
+    once via ``ray.put``; each batch emits one partial count."""
+    import ray
+
+    keys = set(r[pk] for r in dim_ds.select_columns([pk]).iter_rows())
+    ref = ray.put(keys)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        vals = batch.column(fk).to_pylist()
+        n = sum(1 for v in vals if v is not None and v not in side)
+        return pa.table({"dangling": pa.array([n], pa.int64())})
+
+    partials = fact_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+    from ray.data.aggregate import Sum
+    agg = partials.sum("dangling")  # scalar
+
+    import pyarrow as _pa
+    return _pa.table({"n_dangling": _pa.array([int(agg)], _pa.int64())})
+
+
 class _RefCheckBatch:
     """Checks flattened ``<list_col>.<ref_field>`` membership against the
     broadcast filter; emits one row per dangling ref occurrence."""
