@@ -1,0 +1,198 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline validation pipeline in two FRESH processes
+(num_cpus=8 and num_cpus=32) on the same materialized corpus and reports both
+throughputs plus scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: corpus replication so the 5k-row documents table stands in for a real
+#: corpus (~200k interleaved docs, ~2M spans at sf0.1)
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
+CACHE_ROOT = os.environ.get("GRAFT_CACHE", "/tmp/graft_bench")
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf"
+
+
+def corpus_cache_dir() -> str:
+    return os.path.join(CACHE_ROOT, f"{_sf_tag()}_r{REPLICATE}")
+
+
+def ensure_corpus() -> str:
+    """Materialize the spans corpus once (synthesis excluded from timings)."""
+    from engine.synth import build_corpus
+    return build_corpus(SF_DIR, corpus_cache_dir(), replicate=REPLICATE,
+                        partitions=32, seed=42)
+
+
+def amplify_corpus(base_dir: str, copies: int) -> str:
+    """Hardlink the corpus files ``copies`` times into a sibling dir — a
+    zero-cost way to scale the benchmark input volume (each file is read and
+    validated independently, so the measured work is real)."""
+    out = base_dir.rstrip("/") + f"_x{copies}"
+    marker = os.path.join(out, "_AMPLIFY_DONE")
+    if os.path.exists(marker):
+        return out
+    for root, _, files in os.walk(base_dir):
+        rel = os.path.relpath(root, base_dir)
+        for c in range(copies):
+            dst_dir = os.path.join(out, rel) if rel != "." else out
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                dst = os.path.join(dst_dir, f"c{c:03d}_{f}")
+                if not os.path.exists(dst):
+                    os.link(os.path.join(root, f), dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def bench_validate(corpus_dir: str) -> tuple[float, int]:
+    import ray.data
+    from engine.dataset import validate_dataset
+    ds = ray.data.read_parquet(corpus_dir)
+    n_docs = ds.count()
+    t0 = time.perf_counter()
+    viol = validate_dataset(ds, batch_size=8192, with_message=False)
+    n_viol = viol.count()  # consumes the stream
+    dt = time.perf_counter() - t0
+    return dt, n_docs
+
+
+def bench_queries() -> dict[str, float]:
+    """Per-pipeline wall seconds over the real sf tables."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import __ray_entry__ as entrymod
+
+    out: dict[str, float] = {}
+
+    def run(name: str):
+        t0 = time.perf_counter()
+        r = entrymod.queries()[name](SF_DIR)
+        if isinstance(r, ray.data.Dataset):
+            r.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    for name in ("stats_documents", "dedup_exact", "minhash_near_dup",
+                 "simhash_fingerprints", "ann_cosine_topk",
+                 "duplicate_keys_lineitem", "q1_pricing_summary",
+                 "revenue_by_segment", "events_per_user_hour",
+                 "token_counts", "quality_scores", "language_id"):
+        run(name)
+    return out
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    corpus = ensure_corpus()
+    amplify = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "0"))
+    if amplify > 1:
+        corpus = amplify_corpus(corpus, amplify)
+    # steady-state throughput: warm run then measured run (page cache +
+    # worker pool warm; fresh-process isolation still holds per CPU level)
+    bench_validate(corpus)
+    dt, n_docs = bench_validate(corpus)
+    ray.shutdown()
+    return {"seconds": dt, "docs": n_docs,
+            "docs_per_sec": n_docs / dt if dt else 0.0}
+
+
+def main() -> int:
+    if "--prepare" in sys.argv:
+        import ray
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, log_to_driver=False)
+        ensure_corpus()
+        ray.shutdown()
+        return 0
+
+    if "--headline-only" in sys.argv:
+        res = run_headline(NUM_CPUS)
+        print(json.dumps({**res, "num_cpus": NUM_CPUS}))
+        return 0
+
+    if "--scaling" in sys.argv:
+        # Fresh process per parallelism level, same materialized input.
+        # The base corpus is synthesized once, then hardlink-amplified so
+        # both runs are compute-bound (fixed startup overhead otherwise
+        # masks the scaling signal).
+        amplify = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "20"))
+        lo_cpus, hi_cpus = 8, 32
+        base_env = dict(os.environ, GRAFT_SF_DIR=SF_DIR,
+                        GRAFT_REPLICATE=str(REPLICATE),
+                        GRAFT_SCALING_AMPLIFY=str(amplify))
+        # prebuild the corpus once at full parallelism (excluded from timing)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prepare"],
+            capture_output=True, text=True,
+            env=dict(base_env, RAY_GRAFT_CPUS=str(hi_cpus)),
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        results = {}
+        for n in (lo_cpus, hi_cpus):
+            env = dict(base_env, RAY_GRAFT_CPUS=str(n))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only"],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = p.stdout.strip().splitlines()[-1]
+            results[n] = json.loads(line)
+        thr_lo = results[lo_cpus]["docs_per_sec"]
+        thr_hi = results[hi_cpus]["docs_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus) if thr_lo else 0.0
+        print(json.dumps({
+            "metric": "validation_scaling",
+            "sf": _sf_tag(), "docs": results[hi_cpus]["docs"],
+            f"docs_per_sec_{lo_cpus}cpu": round(thr_lo, 1),
+            f"docs_per_sec_{hi_cpus}cpu": round(thr_hi, 1),
+            "speedup": round(thr_hi / thr_lo, 3) if thr_lo else 0,
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return 0
+
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             log_to_driver=False)
+    corpus = ensure_corpus()
+    dt, n_docs = bench_validate(corpus)
+    queries = bench_queries()
+    total = dt + sum(queries.values())
+    queries = {"validate_spans_corpus": round(dt, 3), **queries}
+    print(json.dumps({
+        "metric": "headline_pipeline_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1) if dt else 0,
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,6 +172,41 @@ def _bucket_pairs(df, threshold: float, k: int):
     return pd.DataFrame(rows, columns=["key_a", "key_b", "est_jaccard"])
 
 
+def _hot_bucket_filter(banded, cols: list[str]):
+    """Filter an LSH-banded dataset down to buckets with >= 2 members.
+
+    ``map_groups`` over millions of mostly-singleton buckets pays python
+    overhead per group; instead, count buckets with a NATIVE groupby
+    aggregate, broadcast the (small) hot-bucket key set, and keep only rows
+    whose bucket is hot — the expensive per-group pair scan then runs on the
+    candidate sliver only. At near-dup rates of a few %, the sliver is a few
+    % of the banded rows.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    banded = banded.materialize()  # reused by count + filter passes
+    counts = banded.groupby(cols).count()
+
+    def _hot_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("count()"), 2))
+
+    hot = counts.map_batches(_hot_only, batch_format="pyarrow")
+    hot_keys = set()
+    for row in hot.iter_rows():
+        hot_keys.add(tuple(row[c] for c in cols))
+    ref = ray.put(hot_keys)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        col_vals = [b.column(c).to_pylist() for c in cols]
+        mask = np.array([tuple(v) in keys for v in zip(*col_vals)],
+                        dtype=bool)
+        return b.filter(pa.array(mask))
+
+    return banded.map_batches(_filter, batch_format="pyarrow")
+
+
 def minhash_near_duplicates(ds, *, text_col: str = "text",
                             key_col: str = "doc_id", k: int = 64,
                             bands: int = 16, shingle_n: int = 3,
@@ -181,7 +216,8 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
 
     Shuffle volume: (bands x docs) rows of (int32, uint64, key, K*8B sig) —
     signatures ride along so verification happens inside the bucket groupby
-    without a second pass over the corpus.
+    without a second pass over the corpus. Singleton buckets are dropped by
+    a native count aggregate before the python per-group pair scan.
     """
     import pandas as pd
 
@@ -189,7 +225,8 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
         _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+    cand = _hot_bucket_filter(banded, ["band", "band_hash"])
+    pairs = cand.groupby(["band", "band_hash"]).map_groups(
         lambda df: _bucket_pairs(df, threshold, k), batch_format="pandas")
     # a pair can surface from several bands: dedup on (key_a, key_b)
     from ray.data.aggregate import Max
@@ -284,7 +321,8 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
     chunked = ds.map_batches(_chunks, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size,
                              concurrency=concurrency)
-    pairs = chunked.groupby(["chunk", "chunk_val"]).map_groups(
+    cand = _hot_bucket_filter(chunked, ["chunk", "chunk_val"])
+    pairs = cand.groupby(["chunk", "chunk_val"]).map_groups(
         _pairs, batch_format="pandas")
     from ray.data.aggregate import Min
     agg = pairs.groupby(["key_a", "key_b"]).aggregate(Min("hamming"))

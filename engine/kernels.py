@@ -621,15 +621,15 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
         if plan.unique_items:
             dups = _first_dup_idx(val, a_ok)
             if dups:
+                fail_slots = sorted(dups.keys())
                 fail = np.zeros(n, dtype=bool)
-                fail[list(dups.keys())] = True
-                pyl = None
+                fail[fail_slots] = True
+                # convert ONLY the failing rows (sparse), never the column
+                sub = val.take(pa.array(fail_slots)).to_pylist()
+                sub_by_slot = dict(zip(fail_slots, sub))
 
-                def dup_ctx(i, _dups=dups):
-                    nonlocal pyl
-                    if pyl is None:
-                        pyl = val.to_pylist()
-                    el = pyl[i][_dups[i]]
+                def dup_ctx(i, _dups=dups, _rows=sub_by_slot):
+                    el = _rows[i][_dups[i]]
                     el = None if el is None else _strip_absent(el)
                     return {"duplicate_value": E.canonical_json(el)}
 

@@ -1,0 +1,167 @@
+"""Schema-compiler operator tests, ported from the reference's rust_backend
+semantics (``rust_backend.rs:641-919``, ``:203-305``)."""
+
+import pyarrow as pa
+import pytest
+
+from engine.schema import parse_schema
+from engine.schema_compiler import (BatchCompileError, CodeGenError,
+                                    arrow_schema_to_json_schema,
+                                    compile_batch, dedupe_schemas,
+                                    merge_all_of, narrow_numeric_type,
+                                    resolve_all_of, structural_key,
+                                    target_arrow_schema)
+
+
+def s(j):
+    return parse_schema(j)
+
+
+class TestAllOfMerge:
+    def test_property_union_and_required_order(self):
+        m = merge_all_of([
+            s('{"type":"object","properties":{"a":{"type":"string"}},'
+              '"required":["a"]}'),
+            s('{"type":"object","properties":{"b":{"type":"integer"}},'
+              '"required":["b","a"]}'),
+        ])
+        assert set(m.properties) == {"a", "b"}
+        assert m.required == ["a", "b"]  # first-occurrence ordered union
+        assert m.type == "object"
+
+    def test_numeric_bounds_tighten(self):
+        m = merge_all_of([
+            s('{"type":"object","properties":{"n":{"type":"integer",'
+              '"minimum":0,"maximum":100}}}'),
+            s('{"type":"object","properties":{"n":{"type":"integer",'
+              '"minimum":10,"maximum":50}}}'),
+        ])
+        assert m.properties["n"].minimum == 10.0
+        assert m.properties["n"].maximum == 50.0
+
+    def test_crossing_bounds_error(self):
+        with pytest.raises(CodeGenError) as e:
+            merge_all_of([
+                s('{"type":"object","properties":{"n":{"type":"integer",'
+                  '"minimum":60}}}'),
+                s('{"type":"object","properties":{"n":{"type":"integer",'
+                  '"maximum":50}}}'),
+            ])
+        assert e.value.kind == "AllOfMergeConflictingNumericBounds"
+
+    def test_conflicting_type_error(self):
+        with pytest.raises(CodeGenError) as e:
+            merge_all_of([
+                s('{"type":"object","properties":{"x":{"type":"string"}}}'),
+                s('{"type":"object","properties":{"x":{"type":"integer"}}}'),
+            ])
+        assert e.value.kind == "AllOfMergeConflictingPropertyType"
+
+    def test_conflicting_pattern_error(self):
+        with pytest.raises(CodeGenError) as e:
+            merge_all_of([
+                s('{"type":"object","properties":{"x":{"type":"string","pattern":"a"}}}'),
+                s('{"type":"object","properties":{"x":{"type":"string","pattern":"b"}}}'),
+            ])
+        assert e.value.kind == "AllOfMergeConflictingPattern"
+
+    def test_deep_object_merge(self):
+        m = merge_all_of([
+            s('{"type":"object","properties":{"o":{"type":"object",'
+              '"properties":{"x":{"type":"string"}}}}}'),
+            s('{"type":"object","properties":{"o":{"type":"object",'
+              '"properties":{"y":{"type":"integer"}}}}}'),
+        ])
+        assert set(m.properties["o"].properties) == {"x", "y"}
+
+    def test_non_object_subschema_error(self):
+        with pytest.raises(CodeGenError) as e:
+            merge_all_of([s('{"type":"string"}')])
+        assert e.value.kind == "AllOfMergeNonObjectSubschema"
+        assert e.value.ctx["index"] == 0
+
+    def test_empty_all_of_is_error(self):
+        with pytest.raises(CodeGenError):
+            resolve_all_of(s('{"allOf": []}'))
+        assert resolve_all_of(s('{"type":"string"}')).type == "string"
+
+
+class TestNumericNarrowing:
+    @pytest.mark.parametrize("schema_json,expected", [
+        ('{"type":"integer","minimum":0,"maximum":255}', pa.uint8()),
+        ('{"type":"integer","minimum":0,"maximum":256}', pa.uint16()),
+        ('{"type":"integer","minimum":0,"maximum":70000}', pa.uint32()),
+        ('{"type":"integer","minimum":0,"maximum":5e9}', pa.uint64()),
+        ('{"type":"integer","minimum":-128,"maximum":127}', pa.int8()),
+        ('{"type":"integer","minimum":-129,"maximum":127}', pa.int16()),
+        ('{"type":"integer","minimum":-1,"maximum":1e6}', pa.int32()),
+        ('{"type":"integer"}', pa.int64()),
+        ('{"type":"integer","minimum":1.5,"maximum":9}', pa.int64()),
+        ('{"type":"number","minimum":0,"maximum":1}', pa.float32()),
+        ('{"type":"number"}', pa.float64()),
+        ('{"type":"number","minimum":0,"maximum":1e39}', pa.float64()),
+    ])
+    def test_narrowing(self, schema_json, expected):
+        assert narrow_numeric_type(s(schema_json)) == expected
+
+
+class TestTargetSchema:
+    def test_struct_emission(self):
+        sch = target_arrow_schema(s('''
+            {"type":"object","required":["id"],
+             "properties":{
+               "id":{"type":"integer","minimum":0,"maximum":1000},
+               "name":{"type":"string"},
+               "tags":{"type":"array","items":{"type":"string"}},
+               "score":{"type":"number","minimum":0,"maximum":1}}}'''))
+        assert sch.field("id").type == pa.uint16()
+        assert not sch.field("id").nullable
+        assert sch.field("name").nullable
+        assert sch.field("tags").type == pa.list_(pa.string())
+        assert sch.field("score").type == pa.float32()
+
+
+class TestDedupe:
+    def test_structural_dedupe(self):
+        a = s('{"type":"object","properties":{"x":{"type":"string"}},"title":"A"}')
+        b = s('{"type":"object","properties":{"x":{"type":"string"}},"title":"B"}')
+        c = s('{"type":"object","properties":{"x":{"type":"integer"}}}')
+        assign, canonical = dedupe_schemas([a, b, c])
+        # functional mode: annotations (title) excluded -> a == b
+        assert assign == [0, 0, 1]
+        assert len(canonical) == 2
+        assert structural_key(a) == structural_key(b)
+        assert structural_key(a) != structural_key(c)
+
+
+class TestBatchCompile:
+    def test_all_or_nothing_with_indices(self):
+        good = '{"type":"string"}'
+        bad = '{"minLength": -1}'
+        with pytest.raises(BatchCompileError) as e:
+            compile_batch([good, bad, good, '{"type": 3}'])
+        assert [i for i, _ in e.value.failures] == [1, 3]
+        plans = compile_batch([good, good])
+        assert len(plans) == 2
+
+
+class TestReverse:
+    def test_roundtrip_through_arrow(self):
+        t = pa.schema([
+            pa.field("id", pa.int32(), nullable=False),
+            pa.field("name", pa.string()),
+            pa.field("vals", pa.list_(pa.float64())),
+            pa.field("meta", pa.struct([("k", pa.uint8())])),
+        ])
+        j = arrow_schema_to_json_schema(t)
+        assert j["required"] == ["id"]
+        assert j["properties"]["id"] == {
+            "type": "integer", "minimum": -(2**31), "maximum": 2**31 - 1}
+        assert j["properties"]["vals"]["items"] == {"type": "number"}
+        assert j["properties"]["meta"]["properties"]["k"]["maximum"] == 255
+        # inferred schema parses and validates matching data
+        sch = parse_schema(j)
+        from engine.oracle import validate
+        assert validate(sch, {"id": 1, "name": "x", "vals": [0.5],
+                              "meta": {"k": 3}}) == []
+        assert validate(sch, {"name": "x"}) != []  # id required
