@@ -326,33 +326,48 @@ def _flatten(val: pa.Array, active: np.ndarray):
 
 def _first_dup_idx(val: pa.Array, active: np.ndarray) -> dict[int, int]:
     """slot -> element index of the first element equal to a later one
-    (reference scan order, ``validator/mod.rs:378-397``)."""
-    import pandas as pd
+    (reference scan order, ``validator/mod.rs:378-397``).
 
-    lens = np.where(active, *(lambda s, e: (e - s, 0))(*_list_offsets(val)))
+    Fast path: decompose elements into numeric code columns (strings via
+    ``pc.dictionary_encode`` — exact equality as int codes, no Python string
+    materialization), then find within-list duplicate groups with one
+    ``np.lexsort`` + adjacent-equality scan. The first duplicate per list ==
+    the smallest element index belonging to any >=2-sized (list, value)
+    group, which equals the reference's first-(i, j>i) scan result.
+    """
+    start, end = _list_offsets(val)
+    lens = np.where(active, end - start, 0)
     cand = active & (lens >= 2)
     if not cand.any():
         return {}
     elem_val, parent, within = _flatten(val, cand)
-    cols: dict[str, Any] = {"__parent": parent}
-    flat_ok = _flat_key_columns(elem_val, cols)
     out: dict[int, int] = {}
-    if flat_ok:
-        df = pd.DataFrame(cols)
-        dup = df.duplicated(keep=False).to_numpy()
-        # presence of element-null vs value distinctions are encoded in the
-        # key columns (validity column added by _flat_key_columns)
-        if dup.any():
-            for k in np.nonzero(dup)[0].tolist():
-                p = int(parent[k])
-                if p not in out:
-                    out[p] = int(within[k])
+    codes = _elem_code_columns(elem_val)
+    if codes is not None:
+        keys = [parent] + codes
+        order = np.lexsort(tuple(reversed(keys)))
+        skeys = [k[order] for k in keys]
+        eq = np.ones(len(parent) - 1, dtype=bool) if len(parent) else \
+            np.zeros(0, dtype=bool)
+        for k in skeys:
+            eq &= k[1:] == k[:-1]
+        marked_sorted = np.zeros(len(parent), dtype=bool)
+        if len(eq):
+            marked_sorted[1:] |= eq
+            marked_sorted[:-1] |= eq
+        marked = order[marked_sorted]
+        if len(marked):
+            n = len(val)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, parent[marked], within[marked])
+            for p in np.unique(parent[marked]).tolist():
+                out[int(p)] = int(first[p])
     else:
         pyl = val.to_pylist()
         for s in np.nonzero(cand)[0].tolist():
             arr = [None if x is None else _strip_absent(x) for x in pyl[s]]
+            done = False
             for i in range(len(arr)):
-                done = False
                 for j in range(i + 1, len(arr)):
                     if E.json_equal(arr[i], arr[j]):
                         out[s] = i
@@ -363,28 +378,47 @@ def _first_dup_idx(val: pa.Array, active: np.ndarray) -> dict[int, int]:
     return out
 
 
-def _flat_key_columns(elem: pa.Array, cols: dict, prefix: str = "") -> bool:
-    """Decompose an element array into hashable flat columns; False when the
-    type nests lists/structs beyond one struct level (python fallback)."""
+def _scalar_code_cols(child: pa.Array) -> Optional[list[np.ndarray]]:
+    """Numeric code columns giving exact equality semantics for one scalar
+    array: (validity, code/value). None for unsupported types."""
+    ct = child.type
+    valid = _valid_mask(child).astype(np.int8)
+    if _is_string_t(ct):
+        enc = child.dictionary_encode()
+        codes = pc.fill_null(pc.cast(enc.indices, pa.int64()), -1)
+        return [valid, codes.to_numpy(zero_copy_only=False)]
+    if pa.types.is_boolean(ct):
+        v = pc.fill_null(pc.cast(child, pa.int8()), -1)
+        return [valid, v.to_numpy(zero_copy_only=False)]
+    if _is_int_t(ct):
+        if pa.types.is_uint64(ct):
+            v = pc.fill_null(child, 0)
+            return [valid, v.to_numpy(zero_copy_only=False)]
+        v = pc.fill_null(pc.cast(child, pa.int64()), 0)
+        return [valid, v.to_numpy(zero_copy_only=False)]
+    if _is_float_t(ct):
+        v = pc.fill_null(pc.cast(child, pa.float64()), 0.0)
+        return [valid, v.to_numpy(zero_copy_only=False)]
+    return None
+
+
+def _elem_code_columns(elem: pa.Array) -> Optional[list[np.ndarray]]:
+    """Flat numeric key columns for element equality; None -> python path."""
     t = elem.type
     if pa.types.is_struct(t):
-        if prefix:  # nested struct-in-struct: keep it simple, fall back
-            return False
-        if elem.null_count:  # null structs expose garbage field values; the
-            return False     # python path compares them correctly
-        cols[prefix + "__valid"] = _valid_mask(elem)
+        if elem.null_count:  # null structs expose garbage field values
+            return None
+        cols: list[np.ndarray] = []
         for f in t:
             child = elem.field(f.name)
-            if pa.types.is_struct(child.type) or _is_list_t(child.type):
-                return False
-            cols[prefix + f.name] = child.to_numpy(zero_copy_only=False)
-            cols[prefix + f.name + "__v"] = _valid_mask(child)
-        return True
+            sub = _scalar_code_cols(child)
+            if sub is None:
+                return None
+            cols.extend(sub)
+        return cols
     if _is_list_t(t):
-        return False
-    cols[prefix + "__val"] = elem.to_numpy(zero_copy_only=False)
-    cols[prefix + "__valid"] = _valid_mask(elem)
-    return True
+        return None
+    return _scalar_code_cols(elem)
 
 
 # ---------------------------------------------------------------------------
