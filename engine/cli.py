@@ -65,6 +65,107 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def collect_schema_entries(inputs: list[str]) -> list[tuple[str, str]]:
+    """Expand INPUTs (files, dirs, "-") into deduplicated
+    (input_path, output_relative) pairs — reference ``cli/utils.rs:49-113``:
+    recursive ``.json`` discovery with an explicit stack, dedup by canonical
+    path, output name via path sanitization."""
+    from engine.sanitizers import sanitize_path_component
+
+    seen: set[str] = set()
+    entries: list[tuple[str, str]] = []
+    for inp in inputs:
+        if inp == "-":
+            entries.append(("-", "stdin_schema.json"))
+            continue
+        if os.path.isfile(inp):
+            canonical = os.path.realpath(inp)
+            if canonical not in seen:
+                seen.add(canonical)
+                stem = os.path.splitext(os.path.basename(inp))[0] or "schema"
+                entries.append((canonical,
+                                sanitize_path_component(stem) + ".json"))
+        elif os.path.isdir(inp):
+            root = os.path.realpath(inp)
+            stack = [root]
+            while stack:
+                cur = stack.pop()
+                for name in os.listdir(cur):
+                    p = os.path.join(cur, name)
+                    if os.path.isdir(p):
+                        stack.append(p)
+                    elif p.endswith(".json"):
+                        canonical = os.path.realpath(p)
+                        if canonical in seen:
+                            continue
+                        seen.add(canonical)
+                        rel = os.path.relpath(p, root)
+                        parts = rel.split(os.sep)
+                        parts = [sanitize_path_component(x)
+                                 for x in parts[:-1]] + [
+                            sanitize_path_component(
+                                os.path.splitext(parts[-1])[0]) + ".json"]
+                        entries.append((canonical, os.path.join(*parts)))
+        else:
+            raise SystemExit(f"not a file or directory: {inp}")
+    return entries
+
+
+def cmd_compile(args) -> int:
+    """Batch-compile schemas -> per-schema plan summaries + shared deduped
+    shapes (the engine's "generate" verb; reference ``cli/generate.rs``:
+    all-or-nothing ingestion, per-schema failure log, structural dedupe)."""
+    from engine.schema import SchemaParseError, parse_schema
+    from engine.schema_compiler import (dedupe_schemas, resolve_all_of,
+                                        structural_key, target_arrow_schema,
+                                        CodeGenError)
+
+    entries = collect_schema_entries(args.inputs)
+    schemas, failures = [], []
+    for i, (path, rel) in enumerate(entries):
+        try:
+            src = sys.stdin.read() if path == "-" else open(path).read()
+            schemas.append((rel, parse_schema(src, strict=args.strict)))
+        except (SchemaParseError, OSError) as e:
+            failures.append((i, path, str(e)))
+    if failures:  # all-or-nothing: log every failure, write nothing
+        for i, path, msg in failures:
+            print(f"[{i}] {path}: {msg}", file=sys.stderr)
+        print(f"compilation failed for {len(failures)} schema(s)",
+              file=sys.stderr)
+        return 1
+
+    assign, canonical = dedupe_schemas([s for _, s in schemas])
+    os.makedirs(args.out, exist_ok=True)
+    shared = []
+    for ci, cs in enumerate(canonical):
+        shared.append({"shape_id": ci, "structural_key": structural_key(cs)})
+    with open(os.path.join(args.out, "shared.json"), "w") as f:
+        json.dump({"shapes": shared}, f, indent=1)
+    for (rel, schema), shape_id in zip(schemas, assign):
+        try:
+            resolved = resolve_all_of(schema)
+            target = target_arrow_schema(resolved) \
+                if (resolved.type == "object" or resolved.properties) else None
+        except CodeGenError as e:
+            target = None
+            print(f"{rel}: {e}", file=sys.stderr)
+        out_path = os.path.join(args.out, rel)
+        os.makedirs(os.path.dirname(out_path) or args.out, exist_ok=True)
+        summary = {
+            "shape_id": shape_id,
+            "target_arrow_schema": (
+                [{"name": fld.name, "type": str(fld.type),
+                  "nullable": fld.nullable} for fld in target]
+                if target is not None else None),
+        }
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(f"compiled {len(schemas)} schema(s), "
+          f"{len(canonical)} distinct shape(s) -> {args.out}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data
@@ -104,6 +205,14 @@ def main(argv=None) -> int:
     p.add_argument("--baseline-exclude", default="")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("compile",
+                       help="batch-compile schemas to plan artifacts")
+    p.add_argument("inputs", nargs="+",
+                   help="schema files, directories, or '-'")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--strict", action="store_true")
+    p.set_defaults(fn=cmd_compile)
 
     p = sub.add_parser("stats", help="per-column stats")
     p.add_argument("--input", required=True)

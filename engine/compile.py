@@ -58,6 +58,7 @@ class Plan:
     items: Optional["Plan"] = None
     minimum: Optional[float] = None
     maximum: Optional[float] = None
+    format_uuid: bool = False  # set only when engine.config.UUID_FORMAT
 
 
 def compile_plan(schema: Schema, root: Optional[Schema] = None) -> Plan:
@@ -117,4 +118,6 @@ def _compile(node: Schema, root: Schema, memo: dict[int, Plan]) -> Plan:
         p.items = _compile(s.items, root, memo)
     p.minimum = s.minimum
     p.maximum = s.maximum
+    from engine import config
+    p.format_uuid = bool(config.UUID_FORMAT and s.format == "uuid")
     return p

@@ -582,6 +582,16 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
                     em.emit(ctx, k, fail, E.PATTERN_MISMATCH,
                             ctx_fn=lambda i: {"pattern": pat,
                                               "value": arr[i]})
+            k += 1
+        if plan.format_uuid:
+            from engine.config import UUID_REGEX
+            ok = _np_bool(pc.fill_null(
+                pc.match_substring_regex(val, UUID_REGEX), False))
+            fail = s_ok & ~ok
+            if fail.any():
+                arr2 = val.to_numpy(zero_copy_only=False)
+                em.emit(ctx, k, fail, E.INVALID_UUID_FORMAT,
+                        ctx_fn=lambda i: {"value": arr2[i]})
     elif ty in ("integer", "number"):
         if ty == "integer":
             if _is_int_t(t):
@@ -830,6 +840,11 @@ def eval_valid(plan: Plan, val: pa.Array, present: np.ndarray) -> np.ndarray:
                     valid &= ~s_ok
                 else:
                     valid &= _pattern_match_mask(plan.pattern, val, s_ok) | ~s_ok
+            if plan.format_uuid:
+                from engine.config import UUID_REGEX
+                ok = _np_bool(pc.fill_null(
+                    pc.match_substring_regex(val, UUID_REGEX), False))
+                valid &= ok | ~s_ok
     elif ty in ("integer", "number"):
         if ty == "integer":
             if not _is_int_t(t):

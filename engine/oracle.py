@@ -147,8 +147,16 @@ def validate(schema: Schema, instance: Any, root: Optional[Schema] = None) -> li
                     elif rx.search(inst) is None:
                         out.append({"kind": E.PATTERN_MISMATCH, "path": path,
                                     "pattern": node.pattern, "value": inst})
-                # format:"uuid" is feature-gated OFF in the reference default
-                # build (Cargo.toml:26-27); engine matches the default build.
+                # format:"uuid" is feature-gated (Cargo.toml:26-27); the
+                # engine flag engine.config.UUID_FORMAT defaults OFF to
+                # match the reference's default build.
+                from engine import config
+                if config.UUID_FORMAT and node.format == "uuid":
+                    import re as _re
+                    if _re.match(config.UUID_REGEX.replace("(?i)", ""),
+                                 inst, _re.IGNORECASE) is None:
+                        out.append({"kind": E.INVALID_UUID_FORMAT,
+                                    "path": path, "value": inst})
         elif t == "integer":
             if not _is_i64(inst):
                 out.append({"kind": E.EXPECTED_INTEGER, "path": path,
