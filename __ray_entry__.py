@@ -315,6 +315,18 @@ def _q_multimodal_features(sf_dir: str):
     return out
 
 
+def _q_train_test_split(sf_dir: str):
+    from engine.sampling import assign_split
+    out = assign_split(_docs(sf_dir), key_col="doc_id", train_frac=0.9)
+    return out.select_columns(["doc_id", "split"])
+
+
+def _q_sample_fraction(sf_dir: str):
+    from engine.sampling import sample_fraction
+    out = sample_fraction(_docs(sf_dir), 0.25, key_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
 def _q_events_props_validation(sf_dir: str):
     from engine.dataset import validate_json_column
     schema = ('{"type":"object","required":["k"],'
@@ -367,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_drift": _q_spans_drift,
         "spans_dangling_refs": _q_spans_dangling_refs,
         "spans_stats": _q_spans_stats,
+        # deterministic sampling / splits
+        "train_test_split": _q_train_test_split,
+        "sample_fraction": _q_sample_fraction,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # multimodal plumbing (stubbed decode, real pipeline)
@@ -549,5 +564,17 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events from events
             group by event_type
             order by n_events desc, event_type limit 5
+        """,
+        "train_test_split": f"""
+            select doc_id,
+                   case when substr(md5(cast(doc_id as varchar)), 1, 8)
+                        < printf('%08x', {int(0.9 * 2**32)})
+                        then 'train' else 'test' end as split
+            from documents
+        """,
+        "sample_fraction": f"""
+            select doc_id from documents
+            where substr(md5(cast(doc_id as varchar)), 1, 8)
+                  < printf('%08x', {int(0.25 * 2**32)})
         """,
     }
