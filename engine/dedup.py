@@ -54,9 +54,10 @@ def exact_duplicates(ds, *, text_col: str = "text", key_col: str = "doc_id",
             "cnt": pa.array(g["count"].astype(np.int64)),
         })
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=batch_size,
-                              concurrency=concurrency)
+    from engine.shuffle import balance
+    partials = balance(ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=batch_size,
+                       concurrency=concurrency))
     from ray.data.aggregate import Min, Sum
     agg = partials.groupby("text_hash").aggregate(
         Min("keep_id"), Sum("cnt"))
@@ -185,7 +186,8 @@ def _hot_bucket_filter(banded, cols: list[str]):
     import pyarrow.compute as pc
     import ray
 
-    banded = banded.materialize()  # reused by count + filter passes
+    from engine.shuffle import balance
+    banded = balance(banded).materialize()  # reused by count + filter passes
     counts = banded.groupby(cols).count()
 
     def _hot_only(b: pa.Table) -> pa.Table:

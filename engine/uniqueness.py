@@ -45,9 +45,10 @@ class _KeyCountBatch:
 def duplicate_keys(ds, key: str = "doc_id", *, salt_buckets: int = 16,
                    batch_size: int = 65536, concurrency=None):
     """Keys occurring more than once: Dataset of (key, dup_count)."""
-    partials = ds.map_batches(
+    from engine.shuffle import balance
+    partials = balance(ds.map_batches(
         _KeyCountBatch(key, salt_buckets), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)
+        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency))
     salted = partials.groupby(["key", "salt"]).sum("partial")
     totals = salted.groupby("key").sum("sum(partial)")
 
