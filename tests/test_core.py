@@ -128,3 +128,16 @@ class TestSchemaParse:
             parse_schema('{"minItems": -1}')
         with pytest.raises(SchemaParseError):
             parse_schema('{"minLength": 1.5}')
+
+
+class TestStorage:
+    def test_parquet_fallback_when_lance_missing(self):
+        from engine import storage
+        # this container has no lance module
+        assert storage.resolve_format() == (
+            "lance" if storage.lance_available() else "parquet")
+        if not storage.lance_available():
+            import pytest
+            with pytest.raises(ImportError):
+                storage.resolve_format("lance")
+        assert storage.resolve_format("parquet") == "parquet"
