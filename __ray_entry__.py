@@ -191,6 +191,11 @@ def _q_events_window(sf_dir: str):
     return _round_cols(df, {"value_sum": 4})
 
 
+def _q_sessionize(sf_dir: str):
+    from engine.relational import sessionize
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30)
+
+
 def _q_top_event_types(sf_dir: str):
     from engine.relational import top_event_types
     out = top_event_types(_read(sf_dir, "events"), k=5).to_pandas()
@@ -372,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": _q_q1,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_per_user_hour": _q_events_window,
+        "sessionize_events": _q_sessionize,
         "top_event_types": _q_top_event_types,
         # interleaved spans corpus (derived deterministically from documents)
         "validate_spans": _q_validate_spans,
@@ -564,6 +570,22 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events from events
             group by event_type
             order by n_events desc, event_type limit 5
+        """,
+        "sessionize_events": """
+            with marked as (
+              select user_id, ts,
+                     case when ts - lag(ts) over w > interval 30 minutes
+                          or lag(ts) over w is null then 1 else 0 end as new_s
+              from events
+              window w as (partition by user_id order by ts)
+            ), sess as (
+              select user_id, ts,
+                     sum(new_s) over (partition by user_id order by ts
+                                      rows unbounded preceding) as session_id
+              from marked)
+            select user_id, session_id, count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end
+            from sess group by 1, 2
         """,
         "train_test_split": f"""
             select doc_id,

@@ -152,6 +152,40 @@ def events_per_user_hour(events_ds, *, batch_size: int = 65536,
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def sessionize(events_ds, *, gap_minutes: int = 30, batch_size: int = 65536):
+    """Gap-based sessionization: events of one user sorted by time; a gap
+    > ``gap_minutes`` starts a new session. Shuffle key = user_id (each
+    user's events must be co-located and ordered — the documented
+    partitioning assumption); per-group work is vectorized numpy.
+
+    Output: (user_id, session_id, n_events, session_start, session_end).
+    """
+    import pandas as pd
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def _sessions(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("ts")
+        ts = df["ts"].to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session)
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "sid": sid,
+                          "ts": ts}).groupby("sid")
+        out = g.agg(user_id=("user_id", "first"), n_events=("ts", "size"),
+                    session_start=("ts", "min"),
+                    session_end=("ts", "max")).reset_index()
+        out = out.rename(columns={"sid": "session_id"})
+        out["session_id"] = out["session_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "session_start",
+                    "session_end"]]
+
+    return events_ds.select_columns(["user_id", "ts"]).groupby(
+        "user_id").map_groups(_sessions, batch_format="pandas")
+
+
 def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
     """Global top-k event types by count (partial counts -> tiny sort)."""
 

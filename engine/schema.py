@@ -251,3 +251,29 @@ def parse_schema(src: Union[str, bytes, dict], *, strict: bool = False) -> Schem
 def parse_schema_path(path: str, *, strict: bool = False) -> Schema:
     with open(path, "rb") as f:
         return parse_schema(f.read(), strict=strict)
+
+
+#: Draft markers for spec-version inference, newest first (reference
+#: ``json_schema/spec_version.rs:7-87`` — an inert annotation: it does not
+#: change validation behavior, matching the reference today).
+_SPEC_MARKERS = [
+    ("2020-12", "Draft202012"),
+    ("2019-09", "Draft201909"),
+    ("draft-07", "Draft07"),
+    ("draft-06", "Draft06"),
+    ("draft-04", "Draft04"),
+    ("draft-03", "Draft03"),
+    ("draft-02", "Draft02"),
+    ("draft-01", "Draft01"),
+    ("draft-00", "Draft00"),
+]
+
+
+def infer_spec_version(schema: Schema) -> str:
+    """Inert draft inference from the ``$schema`` URI; defaults to
+    Draft202012 when absent or unrecognized."""
+    uri = schema.schema_uri or ""
+    for marker, name in _SPEC_MARKERS:
+        if marker in uri:
+            return name
+    return "Draft202012"

@@ -141,3 +141,15 @@ class TestStorage:
             with pytest.raises(ImportError):
                 storage.resolve_format("lance")
         assert storage.resolve_format("parquet") == "parquet"
+
+
+class TestSpecVersion:
+    def test_inference(self):
+        from engine.schema import infer_spec_version, parse_schema
+        s = parse_schema('{"$schema":"https://json-schema.org/draft/2020-12/schema"}')
+        assert infer_spec_version(s) == "Draft202012"
+        s = parse_schema('{"$schema":"http://json-schema.org/draft-07/schema#"}')
+        assert infer_spec_version(s) == "Draft07"
+        assert infer_spec_version(parse_schema('{}')) == "Draft202012"
+        s = parse_schema('{"$schema":"http://example.com/custom"}')
+        assert infer_spec_version(s) == "Draft202012"

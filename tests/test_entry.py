@@ -66,6 +66,7 @@ def test_all_queries_have_unique_names(contract):
     "bpe_token_counts", "quality_scores", "lang_distribution",
     "ann_cosine_topk", "q1_pricing_summary", "revenue_by_segment",
     "events_per_user_hour", "top_event_types", "train_test_split",
+    "sessionize_events",
     "sample_fraction",
 ])
 def test_sql_checked_query(contract, con, name):

@@ -266,3 +266,33 @@ class TestRelational:
         e = exp.sort_values(["user_id", "hour"]).reset_index(drop=True)
         assert (g["n_events"] == e["n_events"]).all()
         assert np.allclose(g["value_sum"], e["value_sum"])
+
+
+class TestSessionize:
+    def test_vs_duckdb_window_functions(self, rds):
+        from engine.relational import sessionize
+        got = sessionize(rds("events"), gap_minutes=30).to_pandas()
+        exp = duckdb.sql(f"""
+            with marked as (
+              select user_id, ts,
+                     case when ts - lag(ts) over w > interval 30 minutes
+                          or lag(ts) over w is null then 1 else 0 end as new_s
+              from read_parquet('{SF}/events.parquet')
+              window w as (partition by user_id order by ts)
+            ), sess as (
+              select user_id, ts,
+                     sum(new_s) over (partition by user_id order by ts
+                                      rows unbounded preceding) as session_id
+              from marked)
+            select user_id, session_id, count(*) n_events,
+                   min(ts) session_start, max(ts) session_end
+            from sess group by 1, 2
+        """).df()
+        g = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        e = exp.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        assert len(g) == len(e)
+        assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+        assert (g["session_start"].to_numpy()
+                == e["session_start"].to_numpy()).all()
+        assert (g["session_end"].to_numpy()
+                == e["session_end"].to_numpy()).all()
