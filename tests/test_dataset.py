@@ -33,17 +33,23 @@ class TestSynth:
         assert all(p.startswith("partition_id=") for p in parts)
         assert len(parts) == 4
 
-    def test_same_seed_same_rows(self, ray_session, tmp_path):
+    def test_same_seed_same_rows(self, corpus_dir, ray_session, tmp_path):
+        # an independently-built corpus with the same seed is row-identical
         from engine.synth import build_corpus
         import ray.data
         d2 = build_corpus(SF_DIR, str(tmp_path / "c2"), replicate=2,
                           partitions=4, seed=42)
-        a = ray.data.read_parquet(d2).to_pandas().sort_values(
-            ["partition_id", "doc_id"]).reset_index(drop=True)
-        b = ray.data.read_parquet(
-            os.path.dirname(d2) and d2).to_pandas().sort_values(
-            ["partition_id", "doc_id"]).reset_index(drop=True)
-        assert a.equals(b)
+        key = ["partition_id", "doc_id", "spans"]
+
+        def norm(d):
+            df = ray.data.read_parquet(d).to_pandas()
+            df["spans"] = df["spans"].map(
+                lambda sp: tuple((s["kind"], s["text"], s["media_ref"],
+                                  s["offset"]) for s in sp))
+            df["partition_id"] = df["partition_id"].astype(str)
+            return df.sort_values(key).reset_index(drop=True)[key]
+
+        assert norm(d2).equals(norm(corpus_dir))
 
 
 class TestValidatePipeline:
