@@ -340,6 +340,29 @@ def _first_dup_idx(val: pa.Array, active: np.ndarray) -> dict[int, int]:
     cand = active & (lens >= 2)
     if not cand.any():
         return {}
+    # Cheap prefilter: duplicates must agree on EVERY field, so numeric
+    # fields alone can rule out most lists without touching (expensive)
+    # string dictionary-encoding. Only surviving lists get the full pass.
+    t = val.type
+    if pa.types.is_struct(t.value_type) if _is_list_t(t) else False:
+        num_fields = [f.name for f in t.value_type
+                      if _is_int_t(f.type) or _is_float_t(f.type)
+                      or pa.types.is_boolean(f.type)]
+        if num_fields and len(num_fields) < len(t.value_type):
+            elem_val, parent, within = _flatten(val, cand)
+            if elem_val.null_count == 0:
+                cols = []
+                for name in num_fields:
+                    sub = _scalar_code_cols(elem_val.field(name))
+                    if sub is None:
+                        cols = None
+                        break
+                    cols.extend(sub)
+                if cols is not None:
+                    maybe = _dup_parents(parent, cols, len(val))
+                    if not maybe.any():
+                        return {}
+                    cand = cand & maybe
     elem_val, parent, within = _flatten(val, cand)
     out: dict[int, int] = {}
     codes = _elem_code_columns(elem_val)
@@ -375,6 +398,23 @@ def _first_dup_idx(val: pa.Array, active: np.ndarray) -> dict[int, int]:
                         break
                 if done:
                     break
+    return out
+
+
+def _dup_parents(parent: np.ndarray, cols: list[np.ndarray],
+                 n: int) -> np.ndarray:
+    """Bool[n]: parents having >=2 elements equal on the given key columns."""
+    keys = [parent] + cols
+    order = np.lexsort(tuple(reversed(keys)))
+    if len(parent) < 2:
+        return np.zeros(n, dtype=bool)
+    eq = np.ones(len(parent) - 1, dtype=bool)
+    for k in keys:
+        sk = k[order]
+        eq &= sk[1:] == sk[:-1]
+    out = np.zeros(n, dtype=bool)
+    hit = order[:-1][eq]
+    out[parent[hit]] = True
     return out
 
 
