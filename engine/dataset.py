@@ -59,10 +59,12 @@ _META_COLUMNS = ("partition_id",)
 
 
 class ValidateBatch:
-    """Stateful batch validator for ``map_batches`` actor pools.
+    """Stateful batch validator stage for ``map_batches``.
 
-    Compile-once-per-actor fixes the reference's per-call regex recompile
-    (``validator/mod.rs:260``) without changing observable behavior.
+    The plan (with compiled regexes) is built ONCE on the driver in
+    ``__init__`` and shipped with the stage — fixing the reference's
+    per-call regex recompile (``validator/mod.rs:260``) without changing
+    observable behavior.
 
     Output: one violations row per error — ``(partition_id?, <key>, error_seq,
     error_kind, instance_path, message, context, <carry columns>)`` — where
@@ -191,12 +193,17 @@ def partition_verdicts(ds, schema_json: str = DOC_SCHEMA_JSON, *,
 def _finalize_verdict(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
     viol = batch.column("sum(violations)")
+    viol_np = viol.to_numpy(zero_copy_only=False)
+    checks_failed = pa.array(
+        [["keyword_validation"] if v > 0 else [] for v in viol_np],
+        pa.list_(pa.string()))
     return pa.table({
         "partition_id": batch.column("partition_id"),
         "docs": batch.column("sum(docs)"),
         "violation_docs": batch.column("sum(violation_docs)"),
         "violations": viol,
         "pass": pc.equal(viol, 0),
+        "checks_failed": checks_failed,
     })
 
 

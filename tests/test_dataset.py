@@ -115,7 +115,7 @@ class TestValidatePipeline:
         v = partition_verdicts(ds).to_pandas().sort_values("partition_id")
         assert v["docs"].sum() == 1000
         assert set(v.columns) == {"partition_id", "docs", "violation_docs",
-                                  "violations", "pass"}
+                                  "violations", "pass", "checks_failed"}
         # violation injection guarantees some failures
         assert (~v["pass"]).any()
         assert (v["violation_docs"] <= v["docs"]).all()
