@@ -126,6 +126,31 @@ def _q_referential_lineitem_part(sf_dir: str):
                              fk="l_partkey", pk="p_partkey")
 
 
+def _q_token_doc_frequency(sf_dir: str):
+    from engine.textstats import token_doc_frequency
+    return token_doc_frequency(_docs(sf_dir))
+
+
+def _q_anti_join_orders(sf_dir: str):
+    # exact distributed anti-join against a restricted customer dimension
+    # (c_custkey % 7 != 0) so the dangling set is non-empty and checkable
+    from engine.referential import dangling_fk_rows
+
+    def _restrict(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((keys % 7) != 0))
+
+    dim = _read(sf_dir, "customer").map_batches(
+        _restrict, batch_format="pyarrow")
+    d = dangling_fk_rows(_read(sf_dir, "orders"), dim,
+                         fk="o_custkey", pk="c_custkey")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b.column("key"),
+                         "n_occurrences": b.column("n_occurrences")})
+    return d.map_batches(_rename, batch_format="pyarrow")
+
+
 def _q_dedup_exact(sf_dir: str):
     from engine.dedup import exact_duplicates
     return exact_duplicates(_docs(sf_dir))
@@ -358,6 +383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_keys_lineitem": _q_duplicate_keys_lineitem,
         "referential_orders": _q_referential_orders,
         "referential_lineitem_part": _q_referential_lineitem_part,
+        "anti_join_orders_restricted": _q_anti_join_orders,
+        "token_doc_frequency": _q_token_doc_frequency,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -495,6 +522,20 @@ def oracle_sql() -> dict[str, str]:
             select count(*)::bigint as n_dangling from lineitem
             where l_partkey is not null
               and l_partkey not in (select p_partkey from part)
+        """,
+        "anti_join_orders_restricted": """
+            select o_custkey, count(*) as n_occurrences
+            from orders
+            where o_custkey % 7 = 0
+            group by o_custkey
+        """,
+        "token_doc_frequency": r"""
+            select token, count(distinct doc_id) as df
+            from (select doc_id,
+                         unnest(string_split_regex(text, '\s+')) as token
+                  from documents)
+            where token <> ''
+            group by token
         """,
         "dedup_exact": """
             select md5(text) as text_hash, min(doc_id) as keep_id,

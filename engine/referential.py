@@ -77,6 +77,51 @@ def count_dangling_fk(fact_ds, dim_ds, *, fk: str, pk: str,
     return _pa.table({"n_dangling": _pa.array([int(agg)], _pa.int64())})
 
 
+def dangling_fk_rows(fact_ds, dim_ds, *, fk: str, pk: str,
+                     batch_size: int = 65536, concurrency=None):
+    """Exact distributed anti-join — the scale path when the dimension side
+    is too large to broadcast (SURVEY §2.4 "exact verify" variant).
+
+    Both sides collapse to distinct keys per batch (combiner), union, and a
+    single groupby detects fact keys never seen on the dimension side. The
+    shuffled volume is distinct keys, not rows. Returns (key, n_occurrences).
+    """
+    import pyarrow.compute as pc
+
+    def _fact_partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(fk).drop_null()
+        uniq, counts = np.unique(vals.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        return pa.table({"key": pa.array(uniq.tolist()),
+                         "occ": pa.array(counts.astype(np.int64)),
+                         "in_dim": pa.array(np.zeros(len(uniq), np.int64))})
+
+    def _dim_partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(pk).drop_null()
+        uniq = np.unique(vals.to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(uniq.tolist()),
+                         "occ": pa.array(np.zeros(len(uniq), np.int64)),
+                         "in_dim": pa.array(np.ones(len(uniq), np.int64))})
+
+    from engine.shuffle import balance
+    f = fact_ds.map_batches(_fact_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+    d = dim_ds.map_batches(_dim_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    from ray.data.aggregate import Sum
+    agg = balance(f.union(d)).groupby("key").aggregate(
+        Sum("occ"), Sum("in_dim"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        occ = b.column("sum(occ)")
+        in_dim = b.column("sum(in_dim)")
+        out = pa.table({"key": b.column("key"), "n_occurrences": occ})
+        return out.filter(pc.and_(pc.equal(in_dim, 0), pc.greater(occ, 0)))
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 class _RefCheckBatch:
     """Checks flattened ``<list_col>.<ref_field>`` membership against the
     broadcast filter; emits one row per dangling ref occurrence."""

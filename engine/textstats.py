@@ -67,6 +67,52 @@ def bpe_ish_token_counts(ds, *, text_col: str = "text",
                           batch_size=batch_size, concurrency=concurrency)
 
 
+def token_doc_frequency(ds, *, text_col: str = "text",
+                        batch_size: int = 8192, concurrency=None):
+    """Inverted-index statistics: document frequency per token.
+
+    The classic corpus-wide wide op done Ray-Data-first: tokens are split
+    zero-copy (``pc.split_pattern_regex``), per-batch DISTINCT (doc, token)
+    pairs are computed via dictionary codes + ``np.unique`` (the combiner),
+    and only (token, partial_df) rows shuffle into the final token groupby —
+    never the token stream itself.
+    """
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column(text_col), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        from engine.kernels import _flatten, _valid_mask
+        active = _valid_mask(toks)
+        flat, parent, _ = _flatten(toks, active)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([parent, codes]), axis=1)
+        uniq_codes, df_counts = np.unique(pairs[1], return_counts=True)
+        dictionary = enc.dictionary.to_pylist()
+        tokens, dfs = [], []
+        for c, n in zip(uniq_codes.tolist(), df_counts.tolist()):
+            t = dictionary[c]
+            if t:  # drop empty tokens from leading separators
+                tokens.append(t)
+                dfs.append(n)
+        return pa.table({"token": pa.array(tokens, pa.string()),
+                         "partial_df": pa.array(dfs, pa.int64())})
+
+    from engine.shuffle import balance
+    partials = balance(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency))
+    agg = partials.groupby("token").sum("partial_df")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"token": b.column("token"),
+                         "df": b.column("sum(partial_df)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def quality_scores(ds, *, text_col: str = "text", key_col: str = "doc_id",
                    batch_size: int = 8192, concurrency=None):
     """Length / punctuation / digit / uppercase / stopword ratios per doc."""

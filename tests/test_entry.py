@@ -63,6 +63,7 @@ def test_all_queries_have_unique_names(contract):
     "validate_documents", "validate_embeddings", "stats_documents",
     "duplicate_keys_lineitem", "referential_orders",
     "referential_lineitem_part", "dedup_exact", "token_counts",
+    "anti_join_orders_restricted", "token_doc_frequency",
     "bpe_token_counts", "quality_scores", "lang_distribution",
     "ann_cosine_topk", "q1_pricing_summary", "revenue_by_segment",
     "events_per_user_hour", "top_event_types", "train_test_split",
