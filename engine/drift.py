@@ -15,7 +15,7 @@ broadcast baseline — the corpus is never shuffled.
 from __future__ import annotations
 
 import json
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa

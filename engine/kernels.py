@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 from engine import errors as E
 from engine.compile import Plan
 from engine.pointer import encode_pointer
-from engine.schema import AP_ALLOW, AP_FORBID, UNSET
+from engine.schema import AP_FORBID, UNSET
 
 I64_MAX = 2**63 - 1
 

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from engine.compile import Plan, compile_plan
 from engine.errors import canonical_json
-from engine.schema import AP_FORBID, AP_ALLOW, Schema, UNSET, parse_schema
+from engine.schema import AP_FORBID, Schema, UNSET, parse_schema
 
 
 class CodeGenError(ValueError):
