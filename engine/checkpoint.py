@@ -57,19 +57,34 @@ def completed_partitions(out_dir: str) -> dict[str, dict]:
     return done
 
 
+def _docs_in_files(files: Sequence[str]) -> int:
+    """Row count from parquet footers — metadata only, no data read."""
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def run_validation_job(corpus_dir: str, out_dir: str, *,
                        schema_json: str = DOC_SCHEMA_JSON,
                        catalog_path: Optional[str] = None,
                        baseline_exclude: Sequence[str] = (),
                        max_units: Optional[int] = None,
+                       unit_partitions: int = 1,
                        batch_size: int = 8192) -> dict:
     """Validate a partitioned corpus with checkpoint/resume.
 
-    Returns a summary dict. Call again after a kill: completed partitions
-    (manifest present with matching input fingerprint) are skipped.
+    Partitions are processed in units of ``unit_partitions`` (one streaming
+    pipeline per unit — larger units amortize per-pipeline startup; smaller
+    units give finer resume granularity since manifests commit per unit).
+    The validation pass runs ONCE: verdicts are derived from the written
+    violations output plus parquet-footer row counts, not a second pass.
+    Call again after a kill: partitions whose manifest matches the input
+    fingerprint are skipped.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
     import ray.data
-    from engine.dataset import partition_verdicts, validate_dataset
+    from engine.dataset import validate_dataset
 
     os.makedirs(out_dir, exist_ok=True)
     parts = list_partitions(corpus_dir)
@@ -77,62 +92,108 @@ def run_validation_job(corpus_dir: str, out_dir: str, *,
     summary = {"partitions": len(parts), "skipped": 0, "processed": 0,
                "violations": 0}
 
-    units = 0
+    pending: list[tuple[str, list[str], str]] = []
     for pid, files in parts.items():
         if pid.startswith("__"):
             continue
         fp = _input_fingerprint(files)
         if pid in done and done[pid].get("input_fingerprint") == fp:
             summary["skipped"] += 1
-            continue
-        if max_units is not None and units >= max_units:
-            continue
-        units += 1
+        else:
+            pending.append((pid, files, fp))
+
+    units = [pending[i:i + unit_partitions]
+             for i in range(0, len(pending), unit_partitions)]
+    if max_units is not None:
+        units = units[:max_units]
+
+    def _extract_pid(b: pa.Table) -> pa.Table:
+        # derive partition_id from the source file path (hive dir segment)
+        if "partition_id" in b.column_names:
+            return b.drop_columns(["path"])
+        paths = b.column("path")
+        pids = pc_.replace_substring_regex(
+            paths, pattern=r"^.*partition_id=([^/]+)/.*$", replacement=r"\1")
+        return b.drop_columns(["path"]).append_column(
+            "partition_id", pc_.cast(pids, pa.string()))
+
+    for unit in units:
         started = time.time()
-
-        def _ensure_pid(b, _pid=pid):
-            import pyarrow as pa
-            if "partition_id" in b.column_names:
-                return b
-            return b.append_column(
-                "partition_id", pa.array([_pid] * len(b), pa.string()))
-
-        # attach the partition column when the files don't carry it
-        def _drop_pid(b):
-            # the hive directory name carries partition_id; keeping it
-            # in-file too makes hive readers see a duplicate column
-            return (b.drop_columns(["partition_id"])
-                    if "partition_id" in b.column_names else b)
-
-        ds = ray.data.read_parquet(files).map_batches(
-            _ensure_pid, batch_format="pyarrow")
-        viol_dir = os.path.join(out_dir, "violations", f"partition_id={pid}")
+        unit_files = [f for _, files, _ in unit for f in files]
+        unit_pids = {pid for pid, _, _ in unit}
+        if unit_pids == {"all"}:  # unpartitioned input: constant id
+            def _const_pid(b: pa.Table) -> pa.Table:
+                b = b.drop_columns(["path"])
+                if "partition_id" in b.column_names:
+                    return b
+                return b.append_column(
+                    "partition_id", pa.array(["all"] * len(b), pa.string()))
+            pid_fn = _const_pid
+        else:
+            pid_fn = _extract_pid
+        ds = ray.data.read_parquet(unit_files, include_paths=True)
+        ds = ds.map_batches(pid_fn, batch_format="pyarrow")
+        viol_root = os.path.join(out_dir, "violations")
         viol = validate_dataset(ds, schema_json, batch_size=batch_size)
-        viol.map_batches(_drop_pid, batch_format="pyarrow").write_parquet(
-            viol_dir, mode="overwrite")
-        verd = partition_verdicts(ds, schema_json, batch_size=batch_size)
-        verd_dir = os.path.join(out_dir, "verdicts", f"partition_id={pid}")
-        verd.map_batches(_drop_pid, batch_format="pyarrow").write_parquet(
-            verd_dir, mode="overwrite")
-        vrows = verd.to_pandas()
-        n_viol = int(vrows["violations"].sum())
-        summary["processed"] += 1
-        summary["violations"] += n_viol
-        record = {
-            "partition_id": pid,
-            "input_fragments": [os.path.basename(f) for f in files],
-            "input_fingerprint": fp,
-            "started_at": started,
-            "finished_at": time.time(),
-            "outputs": [viol_dir, verd_dir],
-            "metrics": {"docs": int(vrows["docs"].sum()),
-                        "violation_docs": int(vrows["violation_docs"].sum()),
-                        "violations": n_viol},
-        }
-        # manifest write is the commit point for this partition
-        with open(os.path.join(_manifest_dir(out_dir), f"{pid}.json"),
-                  "w") as f:
-            json.dump(record, f)
+        # hive layout by partition; overwrite only this unit's partitions
+        for pid, _, _ in unit:
+            pdir = os.path.join(viol_root, f"partition_id={pid}")
+            if os.path.isdir(pdir):
+                import shutil
+                shutil.rmtree(pdir)
+        viol.write_parquet(viol_root, partition_cols=["partition_id"],
+                           mode="append")
+        finished = time.time()
+
+        # verdicts from outputs (no second validation pass)
+        verd_rows = []
+        for pid, files, fp in unit:
+            pdir = os.path.join(viol_root, f"partition_id={pid}")
+            n_docs = _docs_in_files(files)
+            if os.path.isdir(pdir):
+                vt = pq.read_table(pdir, columns=["error_seq"])
+                n_viol = vt.num_rows
+                # each violating doc row contributes exactly one seq-0 row
+                viol_docs = int(pc_.sum(pc_.equal(
+                    vt.column("error_seq"), 0)).as_py() or 0)
+            else:
+                n_viol = viol_docs = 0
+            verd_rows.append({
+                "partition_id": pid, "docs": n_docs,
+                "violation_docs": viol_docs, "violations": n_viol,
+                "pass": n_viol == 0,
+                "checks_failed": (["keyword_validation"] if n_viol else []),
+            })
+        for row in verd_rows:
+            pid = row["partition_id"]
+            verd_dir = os.path.join(out_dir, "verdicts",
+                                    f"partition_id={pid}")
+            os.makedirs(verd_dir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist([{k: v for k, v in row.items()
+                                       if k != "partition_id"}]),
+                os.path.join(verd_dir, "verdict.parquet"))
+
+        for (pid, files, fp), row in zip(unit, verd_rows):
+            summary["processed"] += 1
+            summary["violations"] += row["violations"]
+            record = {
+                "partition_id": pid,
+                "input_fragments": [os.path.basename(f) for f in files],
+                "input_fingerprint": fp,
+                "started_at": started,
+                "finished_at": finished,
+                "outputs": [os.path.join(viol_root, f"partition_id={pid}"),
+                            os.path.join(out_dir, "verdicts",
+                                         f"partition_id={pid}")],
+                "metrics": {"docs": row["docs"],
+                            "violation_docs": row["violation_docs"],
+                            "violations": row["violations"]},
+            }
+            # manifest write is the commit point for this partition
+            with open(os.path.join(_manifest_dir(out_dir), f"{pid}.json"),
+                      "w") as f:
+                json.dump(record, f)
 
     if max_units is None:
         _run_global_checks(corpus_dir, out_dir, catalog_path,
