@@ -26,6 +26,11 @@ def load_cases():
         for group in json.load(open(path)):
             schema = parse_schema(group["schema"])
             for t in group["tests"]:
+                if "data_deep_nest" in t:  # synthesize a deep {"a": {...}}
+                    d: dict = {}
+                    for _ in range(t["data_deep_nest"]):
+                        d = {"a": d}
+                    t = {**t, "data": d}
                 cases.append(pytest.param(
                     schema, t,
                     id=f"{group['description']} :: {t['description']}"))
@@ -49,6 +54,37 @@ def test_conformance_case(schema, case):
         for g, x in zip(got, exp):
             for key, val in x.items():
                 assert g.get(key) == val, f"{key}: {g} vs {x}"
+
+
+@pytest.mark.parametrize("schema,case", load_cases())
+def test_conformance_case_as_dataset(schema, case):
+    """Every reference-style keyword case re-run as a DATASET-level
+    assertion (north-star requirement): the instance becomes a 1-row Arrow
+    table under a wrapper property, and the vectorized engine must produce
+    exactly the oracle's error stream for that table."""
+    import pyarrow as pa
+
+    from engine.compile import compile_plan
+    from engine.kernels import validate_batch
+    from engine.rows import table_to_json_rows
+    from engine.schema import Schema
+
+    data = case["data"]
+    try:
+        col = pa.array([data])
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        pytest.skip("instance not representable as a typed Arrow column")
+    if pa.types.is_null(col.type) and data is None:
+        col = pa.array([None], pa.int64())  # typed null column
+    table = pa.table({"value": col})
+    wrapper = Schema(type="object", properties={"value": schema})
+    plan = compile_plan(wrapper)
+    got = validate_batch(plan, table)
+    expected = []
+    for r, inst in enumerate(table_to_json_rows(table)):
+        for s, err in enumerate(validate(wrapper, inst)):
+            expected.append((r, s, err))
+    assert got == expected
 
 
 def test_corpus_counts():
