@@ -237,7 +237,8 @@ def _q_ann_topk(sf_dir: str):
     qids = [0, 7]
     queries = np.stack([np.asarray(df.loc[q, "embedding"]) for q in qids])
     out = cosine_topk(_read(sf_dir, "embeddings"), queries, k=5).to_pandas()
-    out["query_id"] = out["query_id"].map({i: q for i, q in enumerate(qids)})
+    out["query_id"] = out["query_id"].map(
+        {i: q for i, q in enumerate(qids)}).astype("int32")
     out = _round_cols(out, {"cosine": 4})
     out = out.rename(columns={"key": "vec_id"})
     return out[["query_id", "vec_id", "cosine", "rank"]]

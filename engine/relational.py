@@ -144,7 +144,8 @@ def events_per_user_hour(events_ds, *, batch_size: int = 65536,
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": b.column("user_id"),
-            "hour": b.column("hour"),
+            # pandas produced ns; emit us to match SQL date_trunc exactly
+            "hour": pc.cast(b.column("hour"), pa.timestamp("us")),
             "n_events": b.column("sum(n_events)"),
             "value_sum": b.column("sum(value_sum)"),
         })
@@ -179,6 +180,9 @@ def sessionize(events_ds, *, gap_minutes: int = 30, batch_size: int = 65536):
         out = out.rename(columns={"sid": "session_id"})
         out["session_id"] = out["session_id"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
+        # us precision to match SQL timestamps exactly
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        out["session_end"] = out["session_end"].astype("datetime64[us]")
         return out[["user_id", "session_id", "n_events", "session_start",
                     "session_end"]]
 
