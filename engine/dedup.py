@@ -361,12 +361,30 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3,
 def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
                          key_col: str = "doc_id", n: int = 3,
                          threshold: float = 0.6):
-    """Exact-jaccard verification of candidate pairs against a broadcast
-    key->text lookup (pairs are sparse; texts fetched once via ray.put)."""
+    """Exact-jaccard verification of candidate pairs.
+
+    Scale shape: the candidate KEY SET (sparse — near-dup pairs only) is
+    collected and broadcast, the corpus is filtered down to candidate docs
+    (map-only membership test), and only THOSE texts form the broadcast
+    lookup — never the whole corpus.
+    """
     import ray
 
-    lookup = {r[key_col]: r[text_col]
-              for r in docs_ds.select_columns([key_col, text_col]).iter_rows()}
+    cand_keys: set = set()
+    for row in ds_pairs.select_columns(["key_a", "key_b"]).iter_rows():
+        cand_keys.add(row["key_a"])
+        cand_keys.add(row["key_b"])
+    keys_ref = ray.put(cand_keys)
+
+    def _keep_candidates(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        vals = batch.column(key_col).to_pylist()
+        mask = pa.array([v in ks for v in vals])
+        return batch.select([key_col, text_col]).filter(mask)
+
+    cand_docs = docs_ds.map_batches(_keep_candidates,
+                                    batch_format="pyarrow")
+    lookup = {r[key_col]: r[text_col] for r in cand_docs.iter_rows()}
     ref = ray.put(lookup)
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -389,14 +407,17 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
 
 def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
                               key_col: str = "vec_id", dim: int = 64,
-                              n_planes: int = 12, threshold: float = 0.95,
+                              n_planes: int = 12, n_tables: int = 3,
+                              threshold: float = 0.95,
                               seed: int = 13, batch_size: int = 8192,
                               concurrency=None):
-    """Pairs with cosine >= threshold: sign-LSH bucket then in-bucket verify."""
+    """Pairs with cosine >= threshold: random-hyperplane sign-LSH buckets,
+    ``n_tables`` independent hash tables (recall boost for pairs straddling
+    one table's boundaries), in-bucket brute-force verify."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, n_planes))
 
     def _bucket(batch: pa.Table) -> pa.Table:
         from engine.similarity import _batch_matrix
@@ -404,14 +425,25 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
         norm = np.linalg.norm(mat, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         unit = mat / norm
-        signs = (unit @ planes) > 0
-        bucket = np.zeros(len(batch), dtype=np.int64)
-        for p in range(n_planes):
-            bucket |= signs[:, p].astype(np.int64) << p
+        n = len(batch)
+        vec_bytes = np.array([unit[i].tobytes() for i in range(n)],
+                             dtype=object)
+        keys = batch.column(key_col)
+        tables, buckets = [], []
+        for ti in range(n_tables):
+            signs = (unit @ planes[ti]) > 0
+            bucket = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                bucket |= signs[:, p].astype(np.int64) << p
+            tables.append(np.full(n, ti, dtype=np.int32))
+            buckets.append(bucket)
         return pa.table({
-            "bucket": pa.array(bucket),
-            "key": batch.column(key_col),
-            "vec": pa.array([unit[i].tobytes() for i in range(len(batch))],
+            "table": pa.array(np.concatenate(tables)),
+            "bucket": pa.array(np.concatenate(buckets)),
+            "key": pa.concat_arrays([keys.combine_chunks()
+                                     if isinstance(keys, pa.ChunkedArray)
+                                     else keys] * n_tables),
+            "vec": pa.array(np.tile(vec_bytes, n_tables).tolist(),
                             pa.binary()),
         })
 
@@ -433,7 +465,8 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size,
                               concurrency=concurrency)
-    pairs = bucketed.groupby("bucket").map_groups(
+    cand = _hot_bucket_filter(bucketed, ["table", "bucket"])
+    pairs = cand.groupby(["table", "bucket"]).map_groups(
         _pairs, batch_format="pandas")
     from ray.data.aggregate import Max
     agg = pairs.groupby(["key_a", "key_b"]).aggregate(Max("cosine"))

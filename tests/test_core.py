@@ -153,3 +153,27 @@ class TestSpecVersion:
         assert infer_spec_version(parse_schema('{}')) == "Draft202012"
         s = parse_schema('{"$schema":"http://example.com/custom"}')
         assert infer_spec_version(s) == "Draft202012"
+
+
+class TestEcmaTriage:
+    def test_dollar_translation_edges(self):
+        from engine.ecma import translate_ecma, re2_safe
+        assert translate_ecma("a$") == "a\\Z"
+        assert translate_ecma("a\\$b") == "a\\$b"        # escaped $ literal
+        assert translate_ecma("[$]") == "[$]"            # $ in class literal
+        assert translate_ecma("a$|b$") == "a\\Z|b\\Z"
+        import re
+        rx = re.compile(translate_ecma("^abc$"))
+        assert rx.search("abc") and not rx.search("abc\n")
+
+    def test_re2_safety_whitelist(self):
+        from engine.ecma import re2_safe
+        assert re2_safe("^doc-[0-9a-f]+$")
+        assert re2_safe("^media://[0-9a-f]{16}$")
+        assert re2_safe("a|b(c)*")
+        assert not re2_safe(r"\d+")          # perl class: unicode divergence
+        assert not re2_safe("a$b")           # mid-pattern $
+        assert not re2_safe("(?=x)")         # lookahead
+        assert not re2_safe("héllo")         # non-ASCII
+        assert not re2_safe("[a-z")          # unterminated class
+        assert not re2_safe(r"\p{L}")        # unsupported escape
