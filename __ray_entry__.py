@@ -334,6 +334,20 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir))
 
 
+def _q_infer_schema_documents(sf_dir: str):
+    """Reverse codegen (C10): infer a JSON Schema from the documents table's
+    Arrow schema, one row per property with its schema fragment."""
+    import json as _json
+    import pyarrow.parquet as pq
+    from engine.schema_compiler import arrow_schema_to_json_schema
+    sch = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).schema_arrow
+    inferred = arrow_schema_to_json_schema(sch)
+    rows = [{"property": k, "fragment": _json.dumps(v, sort_keys=True)}
+            for k, v in sorted(inferred["properties"].items())]
+    return pa.Table.from_pylist(rows)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from engine.multimodal import decode_and_featurize, synth_media_table
@@ -418,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fraction": _q_sample_fraction,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
+        # schema compiler / reverse codegen
+        "infer_schema_documents": _q_infer_schema_documents,
         # multimodal plumbing (stubbed decode, real pipeline)
         "multimodal_features": _q_multimodal_features,
     }

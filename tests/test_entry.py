@@ -93,6 +93,7 @@ def test_sql_checked_query(contract, con, name):
     "spans_dangling_refs", "spans_stats", "minhash_near_dup",
     "simhash_fingerprints", "embedding_near_dup", "ivf_topk",
     "language_id", "fingerprints", "events_props_validation",
+    "infer_schema_documents",
     "multimodal_features",
 ])
 def test_rows_only_query_runs(contract, name):

@@ -154,3 +154,7 @@ def test_random_schema_table_parity(seed):
         f"seed={seed}\nschema={schema_json}\n"
         f"first diff: {next(((g, e) for g, e in zip(got, expected) if g != e), None)}\n"
         f"len {len(got)} vs {len(expected)}")
+    # every error must render to a display string without raising
+    from engine.errors import render_message
+    for _, _, e in got:
+        assert isinstance(render_message(e), str)
