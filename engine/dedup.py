@@ -113,8 +113,28 @@ def minhash_signatures_batch(texts: list, k: int = 64,
     return sig
 
 
+def _band_hashes(sig: np.ndarray, bands: int, r: int) -> np.ndarray:
+    """(n * bands,) uint64 band hashes, band-major."""
+    n = len(sig)
+    bh = np.empty(bands * n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig[:, b * r:(b + 1) * r]
+            acc = np.zeros(n, dtype=np.uint64)
+            for c in range(r):
+                acc = _splitmix(acc ^ chunk[:, c], b + 7)
+            bh[b * n:(b + 1) * n] = acc
+    return bh
+
+
 class _MinHashBandBatch:
-    """batch -> (band, band_hash, key, signature) rows for the LSH groupby."""
+    """batch -> LIGHT (band, band_hash, key) rows for the LSH groupby.
+
+    Signatures are deliberately NOT shipped: at 10^12 docs x 16 bands the
+    512-byte signature would dominate the shuffle (~8 KB/doc). Candidates
+    surviving the hot-bucket filter are sparse, so their signatures are
+    recomputed afterwards on the filtered corpus slice instead.
+    """
 
     def __init__(self, text_col: str, key_col: str, k: int, bands: int,
                  shingle_n: int):
@@ -130,47 +150,22 @@ class _MinHashBandBatch:
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures_batch(texts, self.k, self.shingle_n)
         n = len(texts)
-        out_band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
-        out_key = np.tile(keys, self.bands)
-        bh = np.empty(self.bands * n, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for b in range(self.bands):
-                chunk = sig[:, b * self.r:(b + 1) * self.r]
-                acc = np.zeros(n, dtype=np.uint64)
-                for c in range(self.r):
-                    acc = _splitmix(acc ^ chunk[:, c], b + 7)
-                bh[b * n:(b + 1) * n] = acc
-        sig_bytes = np.array([sig[i].tobytes() for i in range(n)],
-                             dtype=object)
         return pa.table({
-            "band": pa.array(out_band),
-            "band_hash": pa.array(bh, pa.uint64()),
-            "key": pa.array(out_key.tolist()),
-            "sig": pa.array(np.tile(sig_bytes, self.bands).tolist(),
-                            pa.binary()),
+            "band": pa.array(np.repeat(np.arange(self.bands,
+                                                 dtype=np.int32), n)),
+            "band_hash": pa.array(_band_hashes(sig, self.bands, self.r),
+                                  pa.uint64()),
+            "key": pa.array(np.tile(keys, self.bands).tolist()),
         })
 
 
-def _bucket_pairs(df, threshold: float, k: int):
-    """Candidate pairs within one (band, band_hash) bucket; estimated
-    jaccard from signature agreement."""
+def _bucket_key_pairs(df):
+    """Candidate (key_a, key_b) pairs within one (band, band_hash) bucket."""
     import pandas as pd
-    rows = []
-    keys = df["key"].to_numpy()
-    sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in df["sig"]])
-    order = np.argsort(keys)
-    keys, sigs = keys[order], sigs[order]
-    seen = set()
-    for i in range(len(keys)):
-        for j in range(i + 1, len(keys)):
-            if keys[i] == keys[j] or (keys[i], keys[j]) in seen:
-                continue
-            seen.add((keys[i], keys[j]))
-            est = float((sigs[i] == sigs[j]).mean())
-            if est >= threshold:
-                rows.append({"key_a": keys[i], "key_b": keys[j],
-                             "est_jaccard": est})
-    return pd.DataFrame(rows, columns=["key_a", "key_b", "est_jaccard"])
+    keys = np.unique(df["key"].to_numpy())
+    rows = [{"key_a": keys[i], "key_b": keys[j]}
+            for i in range(len(keys)) for j in range(i + 1, len(keys))]
+    return pd.DataFrame(rows, columns=["key_a", "key_b"])
 
 
 def _hot_bucket_filter(banded, cols: list[str]):
@@ -216,12 +211,13 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
                             batch_size: int = 8192, concurrency=None):
     """Near-duplicate pairs (key_a, key_b, est_jaccard) with est >= threshold.
 
-    Shuffle volume: (bands x docs) rows of (int32, uint64, key, K*8B sig) —
-    signatures ride along so verification happens inside the bucket groupby
-    without a second pass over the corpus. Singleton buckets are dropped by
-    a native count aggregate before the python per-group pair scan.
+    Scale shape: (1) LIGHT band rows (int32, uint64, key) shuffle — no
+    signatures; (2) native count aggregate drops singleton buckets;
+    (3) surviving buckets emit candidate key pairs; (4) signatures are
+    recomputed ONLY for candidate docs (sparse corpus filter, broadcast
+    key->sig lookup) and score est_jaccard.
     """
-    import pandas as pd
+    import ray
 
     banded = ds.map_batches(
         _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
@@ -229,17 +225,63 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
         batch_size=batch_size, concurrency=concurrency)
     cand = _hot_bucket_filter(banded, ["band", "band_hash"])
     pairs = cand.groupby(["band", "band_hash"]).map_groups(
-        lambda df: _bucket_pairs(df, threshold, k), batch_format="pandas")
-    # a pair can surface from several bands: dedup on (key_a, key_b)
-    from ray.data.aggregate import Max
-    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Max("est_jaccard"))
+        _bucket_key_pairs, batch_format="pandas")
+    # a pair can surface from several bands: keep one copy
+    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count()
 
-    def _final(b: pa.Table) -> pa.Table:
+    # candidate signatures: sparse corpus filter -> broadcast key->sig
+    cand_keys: set = set()
+    pair_rows = uniq_pairs.select_columns(["key_a", "key_b"]).to_pandas()
+    for a, b in pair_rows.itertuples(index=False):
+        cand_keys.add(a)
+        cand_keys.add(b)
+    keys_ref = ray.put(cand_keys)
+
+    def _sig_candidates(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        keys = batch.column(key_col).to_pylist()
+        mask = np.array([v in ks for v in keys], dtype=bool)
+        if not mask.any():
+            return pa.table({"key": pa.array([], batch.schema.field(
+                key_col).type), "sig": pa.array([], pa.binary())})
+        sub = batch.filter(pa.array(mask))
+        sig = minhash_signatures_batch(
+            sub.column(text_col).to_pylist(), k, shingle_n)
         return pa.table({
-            "key_a": b.column("key_a"), "key_b": b.column("key_b"),
-            "est_jaccard": b.column("max(est_jaccard)")})
+            "key": sub.column(key_col),
+            "sig": pa.array([sig[i].tobytes() for i in range(len(sub))],
+                            pa.binary()),
+        })
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    sig_lookup = {}
+    for row in ds.map_batches(_sig_candidates, batch_format="pyarrow",
+                              batch_size=batch_size).iter_rows():
+        sig_lookup[row["key"]] = np.frombuffer(row["sig"], dtype=np.uint64)
+    sig_ref = ray.put(sig_lookup)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        ka = batch.column("key_a").to_pylist()
+        kb = batch.column("key_b").to_pylist()
+        out = {"key_a": [], "key_b": [], "est_jaccard": []}
+        for a, b in zip(ka, kb):
+            sa, sb = sigs.get(a), sigs.get(b)
+            if sa is None or sb is None:
+                continue
+            est = float((sa == sb).mean())
+            if est >= threshold:
+                out["key_a"].append(a)
+                out["key_b"].append(b)
+                out["est_jaccard"].append(est)
+        return pa.table({
+            "key_a": pa.array(out["key_a"],
+                              batch.schema.field("key_a").type),
+            "key_b": pa.array(out["key_b"],
+                              batch.schema.field("key_b").type),
+            "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
+        })
+
+    return uniq_pairs.map_batches(_score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
