@@ -455,8 +455,15 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
                               concurrency=None):
     """Pairs with cosine >= threshold: random-hyperplane sign-LSH buckets,
     ``n_tables`` independent hash tables (recall boost for pairs straddling
-    one table's boundaries), in-bucket brute-force verify."""
+    one table's boundaries).
+
+    Scale shape mirrors minhash: LIGHT (table, bucket, key) rows shuffle
+    (the 512-byte vector never does); singleton buckets drop via a native
+    count aggregate; candidate pairs are key-only; candidate vectors are
+    fetched with one sparse map-only pass and broadcast for scoring.
+    """
     import pandas as pd
+    import ray
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, dim, n_planes))
@@ -468,9 +475,9 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
         norm[norm == 0] = 1.0
         unit = mat / norm
         n = len(batch)
-        vec_bytes = np.array([unit[i].tobytes() for i in range(n)],
-                             dtype=object)
         keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         tables, buckets = [], []
         for ti in range(n_tables):
             signs = (unit @ planes[ti]) > 0
@@ -482,40 +489,70 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
         return pa.table({
             "table": pa.array(np.concatenate(tables)),
             "bucket": pa.array(np.concatenate(buckets)),
-            "key": pa.concat_arrays([keys.combine_chunks()
-                                     if isinstance(keys, pa.ChunkedArray)
-                                     else keys] * n_tables),
-            "vec": pa.array(np.tile(vec_bytes, n_tables).tolist(),
-                            pa.binary()),
+            "key": pa.concat_arrays([keys] * n_tables),
         })
 
-    def _pairs(df):
-        keys = df["key"].to_numpy()
-        mat = np.stack([np.frombuffer(b, dtype=np.float64)
-                        for b in df["vec"]])
-        sims = mat @ mat.T
-        out = []
-        n = len(keys)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if keys[i] != keys[j] and sims[i, j] >= threshold:
-                    a, b = sorted((int(keys[i]), int(keys[j])))
-                    out.append({"key_a": a, "key_b": b,
-                                "cosine": float(sims[i, j])})
-        return pd.DataFrame(out, columns=["key_a", "key_b", "cosine"])
+    def _key_pairs(df):
+        keys = np.unique(df["key"].to_numpy())
+        out = [{"key_a": int(min(keys[i], keys[j])),
+                "key_b": int(max(keys[i], keys[j]))}
+               for i in range(len(keys)) for j in range(i + 1, len(keys))]
+        return pd.DataFrame(out, columns=["key_a", "key_b"])
 
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size,
                               concurrency=concurrency)
     cand = _hot_bucket_filter(bucketed, ["table", "bucket"])
     pairs = cand.groupby(["table", "bucket"]).map_groups(
-        _pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
-    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Max("cosine"))
+        _key_pairs, batch_format="pandas")
+    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count()
 
-    def _final(b: pa.Table) -> pa.Table:
-        return pa.table({"key_a": b.column("key_a"),
-                         "key_b": b.column("key_b"),
-                         "cosine": b.column("max(cosine)")})
+    pair_rows = uniq_pairs.select_columns(["key_a", "key_b"]).to_pandas()
+    cand_keys = set(pair_rows["key_a"]) | set(pair_rows["key_b"])
+    keys_ref = ray.put(cand_keys)
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    def _fetch_vecs(batch: pa.Table) -> pa.Table:
+        from engine.similarity import _batch_matrix, _normalize
+        ks = ray.get(keys_ref)
+        keys = batch.column(key_col).to_pylist()
+        mask = np.array([k in ks for k in keys], dtype=bool)
+        if not mask.any():
+            return pa.table({"key": pa.array([], batch.schema.field(
+                key_col).type), "vec": pa.array([], pa.binary())})
+        sub = batch.filter(pa.array(mask))
+        unit = _normalize(_batch_matrix(sub, vec_col))
+        return pa.table({
+            "key": sub.column(key_col),
+            "vec": pa.array([unit[i].tobytes() for i in range(len(sub))],
+                            pa.binary()),
+        })
+
+    vec_lookup = {}
+    for row in ds.map_batches(_fetch_vecs, batch_format="pyarrow",
+                              batch_size=batch_size).iter_rows():
+        vec_lookup[row["key"]] = np.frombuffer(row["vec"], dtype=np.float64)
+    vec_ref = ray.put(vec_lookup)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vecs = ray.get(vec_ref)
+        ka = batch.column("key_a").to_pylist()
+        kb = batch.column("key_b").to_pylist()
+        out = {"key_a": [], "key_b": [], "cosine": []}
+        for a, b in zip(ka, kb):
+            va, vb = vecs.get(a), vecs.get(b)
+            if va is None or vb is None:
+                continue
+            cos = float(va @ vb)
+            if cos >= threshold:
+                out["key_a"].append(a)
+                out["key_b"].append(b)
+                out["cosine"].append(cos)
+        return pa.table({
+            "key_a": pa.array(out["key_a"],
+                              batch.schema.field("key_a").type),
+            "key_b": pa.array(out["key_b"],
+                              batch.schema.field("key_b").type),
+            "cosine": pa.array(out["cosine"], pa.float64()),
+        })
+
+    return uniq_pairs.map_batches(_score, batch_format="pyarrow")
