@@ -133,6 +133,43 @@ def validate_dataset(ds, schema_json: str = DOC_SCHEMA_JSON, *,
         batch_size=batch_size, concurrency=concurrency)
 
 
+class MultiValidateBatch:
+    """Validate every row against N schemas in ONE corpus pass (the
+    dataset-level face of C1 batch compile): one plan per schema compiled
+    up-front, violations tagged with ``schema_name``. One scan replaces N —
+    the dominant cost at 100 TB is the read, not the predicate evaluation."""
+
+    def __init__(self, schema_jsons: dict, *, key_column: str = "doc_id",
+                 instance_columns: Optional[Sequence[str]] = None):
+        self.stages = {
+            name: ValidateBatch(sj, key_column=key_column,
+                                carry_columns=(), with_message=False,
+                                instance_columns=instance_columns)
+            for name, sj in schema_jsons.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for name, stage in self.stages.items():
+            out = stage(batch)
+            out = out.append_column(
+                "schema_name", pa.array([name] * len(out), pa.string()))
+            parts.append(out)
+        return pa.concat_tables(parts)
+
+
+def validate_dataset_multi(ds, schema_jsons: dict, *,
+                           key_column: str = "doc_id",
+                           instance_columns: Optional[Sequence[str]] = None,
+                           batch_size: int = 8192, concurrency=None):
+    """One streaming pass, N schemas -> tagged violations Dataset."""
+    return ds.map_batches(
+        MultiValidateBatch(schema_jsons, key_column=key_column,
+                           instance_columns=instance_columns),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
 class _DocVerdictBatch:
     """Per-batch partial aggregate: (partition_id, docs, violation_docs,
     violations) — combine inside map_batches, tiny groupby after

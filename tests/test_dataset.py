@@ -139,3 +139,27 @@ class TestValidatePipeline:
         assert len(df) > 0
         assert (df["error_kind"] == "ExpectedString").all()
         assert (df["instance_path"] == "/k").all()
+
+
+class TestMultiSchema:
+    def test_one_pass_equals_per_schema_runs(self, ray_session):
+        import ray.data
+        from engine.dataset import validate_dataset, validate_dataset_multi
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+        s1 = ('{"type":"object","properties":'
+              '{"n_chars":{"type":"integer","maximum":300}}}')
+        s2 = ('{"type":"object","properties":'
+              '{"lang":{"enum":["en","de"]}}}')
+        multi = validate_dataset_multi(
+            ds, {"strict_len": s1, "langs": s2}).to_pandas()
+        for name, sj in (("strict_len", s1), ("langs", s2)):
+            single = validate_dataset(
+                ray.data.read_parquet(f"{SF_DIR}/documents.parquet"), sj,
+                carry_columns=(), with_message=False).to_pandas()
+            sub = multi[multi["schema_name"] == name].drop(
+                columns=["schema_name"]).reset_index(drop=True)
+            key = ["doc_id", "error_seq", "error_kind", "instance_path"]
+            assert sorted(map(tuple, sub[key].values)) == \
+                sorted(map(tuple, single[key].values))
+        assert len(multi) > 0
