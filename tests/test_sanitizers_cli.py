@@ -126,3 +126,14 @@ class TestCompileVerb:
         assert r.returncode == 1
         assert "bad.json" in r.stderr
         assert not out.exists()  # nothing written on failure
+
+
+class TestStatsVerb:
+    def test_cli_stats(self, tmp_path):
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "stats",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=180)
+        assert r.returncode == 0, r.stderr[-400:]
+        assert "doc_id" in r.stdout and "null_rate" in r.stdout
