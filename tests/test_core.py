@@ -177,3 +177,78 @@ class TestEcmaTriage:
         assert not re2_safe("héllo")         # non-ASCII
         assert not re2_safe("[a-z")          # unterminated class
         assert not re2_safe(r"\p{L}")        # unsupported escape
+
+
+class TestAllDisplayTemplates:
+    """One exact-render check per variant (error.rs:241-398 templates)."""
+
+    def test_every_variant(self):
+        cases = [
+            ({"kind": E.INVALID_REF, "path": ("x",), "ref_str": "#/$defs/M",
+              "reason": 'DefsMissing { ref_str: "#/$defs/M" }'},
+             '/x: could not resolve $ref "#/$defs/M": '
+             'DefsMissing { ref_str: "#/$defs/M" }'),
+            ({"kind": E.EXPECTED_OBJECT, "path": (), "got": "array"},
+             "root: expected object, got array"),
+            ({"kind": E.EXPECTED_STRING, "path": (), "got": "number"},
+             "root: expected string, got number"),
+            ({"kind": E.EXPECTED_INTEGER, "path": (), "got": "number"},
+             "root: expected integer, got number"),
+            ({"kind": E.EXPECTED_NUMBER, "path": (), "got": "string"},
+             "root: expected number, got string"),
+            ({"kind": E.EXPECTED_ARRAY, "path": (), "got": "object"},
+             "root: expected array, got object"),
+            ({"kind": E.EXPECTED_BOOLEAN, "path": (), "got": "null"},
+             "root: expected boolean, got null"),
+            ({"kind": E.DUPLICATE_ARRAY_ITEMS, "path": (),
+              "duplicate_value": '{"a":1}'},
+             'root: array has duplicate items (value: {"a":1})'),
+            ({"kind": E.TOO_FEW_ITEMS, "path": (), "min_items": 2,
+              "actual_count": 1},
+             "root: array has 1 item(s), minimum is 2"),
+            ({"kind": E.TOO_MANY_ITEMS, "path": (), "max_items": 2,
+              "actual_count": 5},
+             "root: array has 5 item(s), maximum is 2"),
+            ({"kind": E.MISSING_REQUIRED, "path": ("a", "b"),
+              "property": "b"},
+             '/a/b: missing required property "b"'),
+            ({"kind": E.DISALLOWED_ADDITIONAL_PROPERTY, "path": ("q",),
+              "property": "q"},
+             '/q: additional property "q" not allowed'),
+            ({"kind": E.NOT_IN_ENUM, "path": (), "invalid_value": "3",
+              "allowed": ['"a"', "1"]},
+             'root: value 3 not in enum (allowed: "a", 1)'),
+            ({"kind": E.NOT_CONST, "path": (), "expected": "null",
+              "actual": "0"},
+             "root: value 0 does not match const (expected: null)"),
+            ({"kind": E.BELOW_MINIMUM, "path": (), "minimum": 1.5,
+              "actual": 0.25},
+             "root: value 0.25 is below minimum 1.5"),
+            ({"kind": E.ABOVE_MAXIMUM, "path": (), "maximum": 10.0,
+              "actual": 11.0},
+             "root: value 11 is above maximum 10"),
+            ({"kind": E.TOO_SHORT, "path": (), "min_length": 3,
+              "actual_length": 1},
+             "root: string has 1 code points, minLength is 3"),
+            ({"kind": E.TOO_LONG, "path": (), "max_length": 3,
+              "actual_length": 9},
+             "root: string has 9 code points, maxLength is 3"),
+            ({"kind": E.PATTERN_MISMATCH, "path": (), "pattern": "^a$",
+              "value": "b"},
+             'root: string "b" does not match pattern "^a$"'),
+            ({"kind": E.INVALID_PATTERN_IN_SCHEMA, "path": (),
+              "pattern": "["},
+             'root: schema has invalid pattern "["'),
+            ({"kind": E.INVALID_UUID_FORMAT, "path": (), "value": "nope"},
+             'root: string "nope" is not a valid UUID'),
+            ({"kind": E.NO_SUBSCHEMA_MATCHED, "path": (),
+              "subschema_count": 3},
+             "root: instance does not match any of the 3 subschema(s)"),
+            ({"kind": E.MULTIPLE_SUBSCHEMAS_MATCHED, "path": (),
+              "subschema_count": 3, "match_count": 2},
+             "root: instance matches 2 of the 3 oneOf subschema(s), "
+             "exactly one required"),
+        ]
+        assert {c[0]["kind"] for c in cases} == set(E.ALL_KINDS)
+        for err, expected in cases:
+            assert E.render_message(err) == expected
