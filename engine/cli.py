@@ -24,13 +24,17 @@ def cmd_validate_doc(args) -> int:
     schema + JSON payload -> one line per error on stderr, exit 1 on invalid."""
     from engine.errors import render_message
     from engine.oracle import validate
-    from engine.schema import parse_schema, parse_schema_path
+    from engine.schema import SchemaParseError, parse_schema, parse_schema_path
 
-    schema = (parse_schema(sys.stdin.read(), strict=args.strict)
-              if args.schema == "-" else
-              parse_schema_path(args.schema, strict=args.strict))
-    payload = (json.load(sys.stdin) if args.payload == "-"
-               else json.load(open(args.payload)))
+    try:
+        schema = (parse_schema(sys.stdin.read(), strict=args.strict)
+                  if args.schema == "-" else
+                  parse_schema_path(args.schema, strict=args.strict))
+        payload = (json.load(sys.stdin) if args.payload == "-"
+                   else json.load(open(args.payload)))
+    except (OSError, SchemaParseError, json.JSONDecodeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     errs = validate(schema, payload)
     for e in errs:
         print(render_message(e), file=sys.stderr)

@@ -189,9 +189,8 @@ def _hot_bucket_filter(banded, cols: list[str]):
         return b.filter(pc.greater_equal(b.column("count()"), 2))
 
     hot = counts.map_batches(_hot_only, batch_format="pyarrow")
-    hot_keys = set()
-    for row in hot.iter_rows():
-        hot_keys.add(tuple(row[c] for c in cols))
+    hot_df = hot.to_pandas()
+    hot_keys = set(map(tuple, hot_df[cols].itertuples(index=False)))
     ref = ray.put(hot_keys)
 
     def _filter(b: pa.Table) -> pa.Table:

@@ -137,3 +137,38 @@ class TestStatsVerb:
             capture_output=True, text=True, cwd="/root/repo", timeout=180)
         assert r.returncode == 0, r.stderr[-400:]
         assert "doc_id" in r.stdout and "null_rate" in r.stdout
+
+
+class TestCliRobustness:
+    def test_missing_schema_file(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "validate-doc",
+             "-s", "/nonexistent/s.json", "-p", "/dev/null"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode != 0
+
+    def test_stdin_schema(self, tmp_path):
+        payload = tmp_path / "p.json"
+        payload.write_text("3")
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "validate-doc",
+             "-s", "-", "-p", str(payload)],
+            input='{"type":"integer"}', capture_output=True, text=True,
+            cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        payload.write_text('"nope"')
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "validate-doc",
+             "-s", "-", "-p", str(payload)],
+            input='{"type":"integer"}', capture_output=True, text=True,
+            cwd="/root/repo")
+        assert r.returncode == 1
+        assert "expected integer, got string" in r.stderr
+
+    def test_compile_missing_input(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "compile",
+             "/nonexistent/dir", "-o", "/tmp/x"],
+            capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode != 0
+        assert "not a file or directory" in (r.stderr + r.stdout)
