@@ -987,6 +987,18 @@ def validate_batch(plan: Plan, batch: pa.Table) -> list[tuple[int, int, dict]]:
     Returns sparse ``[(doc_row, error_seq, error_dict)]`` in exact reference
     emission order per document.
     """
+    if batch.num_rows == 0:
+        return []
+    if batch.num_columns == 0:
+        # N rows of zero columns are N empty JSON objects — required-property
+        # checks must still fire for each of them
+        n = batch.num_rows
+        root = pa.array([{}] * n, type=pa.struct([]))
+        ctx = Ctx(root, np.ones(n, dtype=bool),
+                  np.arange(n, dtype=np.int64), (), ())
+        em = Emitter()
+        eval_emit(plan, ctx, em)
+        return em.build()
     batch = batch.combine_chunks()
     arrays = [_decode(batch.column(i)) for i in range(batch.num_columns)]
     arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
