@@ -81,7 +81,7 @@ def arrow_json_kind(t: pa.DataType) -> str:
         return "string"
     if pa.types.is_boolean(t):
         return "boolean"
-    if _is_int_t(t) or _is_float_t(t) or pa.types.is_decimal(t):
+    if _is_int_t(t) or _is_float_t(t):
         return "number"
     if pa.types.is_struct(t):
         return "object"
@@ -134,7 +134,7 @@ class Emitter:
     columns sorted per-document by rank (== reference emission order)."""
 
     def __init__(self):
-        self.rows: list[tuple[int, tuple, str, str, dict]] = []
+        self.rows: list[tuple[int, tuple, dict]] = []
 
     def emit(self, ctx: Ctx, ordinal: int, fail: np.ndarray, kind: str,
              const_ctx: Optional[dict] = None,
@@ -157,15 +157,14 @@ class Emitter:
             if ctx_fn is not None:
                 context.update(ctx_fn(i))
             err = {"kind": kind, "path": tuple(path_parts), **context}
-            self.rows.append((int(ctx.docrow[i]), rank, kind,
-                              encode_pointer(path_parts), err))
+            self.rows.append((int(ctx.docrow[i]), rank, err))
 
     def build(self) -> list[tuple[int, int, dict]]:
         """Returns [(doc_row, error_seq, err_dict)] sorted by (doc, rank)."""
         self.rows.sort(key=lambda r: (r[0], r[1]))
         out = []
         prev_doc, seq = None, 0
-        for doc, rank, kind, path_str, err in self.rows:
+        for doc, rank, err in self.rows:
             seq = seq + 1 if doc == prev_doc else 0
             prev_doc = doc
             out.append((doc, seq, err))
@@ -187,7 +186,16 @@ def _scalar_eq_mask(cv: Any, val: pa.Array, isnull: np.ndarray) -> np.ndarray:
         return np.zeros(n, dtype=bool)
     if isinstance(cv, int):
         if _is_int_t(t):
-            return _np_bool(pc.fill_null(pc.equal(val, pa.scalar(cv)), False))
+            if pa.types.is_uint64(t):
+                if not (0 <= cv <= 2**64 - 1):
+                    return np.zeros(n, dtype=bool)
+                return _np_bool(pc.fill_null(
+                    pc.equal(val, pa.scalar(cv, pa.uint64())), False))
+            if not (-(2**63) <= cv <= 2**63 - 1):
+                return np.zeros(n, dtype=bool)
+            return _np_bool(pc.fill_null(
+                pc.equal(pc.cast(val, pa.int64()),
+                         pa.scalar(cv, pa.int64())), False))
         return np.zeros(n, dtype=bool)
     if isinstance(cv, float):
         if _is_float_t(t):
@@ -197,15 +205,15 @@ def _scalar_eq_mask(cv: Any, val: pa.Array, isnull: np.ndarray) -> np.ndarray:
         if _is_string_t(t):
             return _np_bool(pc.fill_null(pc.equal(val, cv), False))
         return np.zeros(n, dtype=bool)
-    # Composite const (object/array): rare — per-slot python compare.
+    # Composite const (object/array): rare — sparse per-slot python compare.
     out = np.zeros(n, dtype=bool)
     kind_ok = (pa.types.is_struct(t) and isinstance(cv, dict)) or \
               (_is_list_t(t) and isinstance(cv, list))
     if kind_ok:
-        pyvals = val.to_pylist()
-        for i in range(n):
-            if pyvals[i] is not None:
-                out[i] = E.json_equal(_strip_absent(pyvals[i]), cv)
+        valid_idx = np.nonzero(_valid_mask(val))[0]
+        sub = val.take(pa.array(valid_idx)).to_pylist()
+        for i, v in zip(valid_idx.tolist(), sub):
+            out[i] = E.json_equal(_strip_absent(v), cv)
     return out
 
 
@@ -264,12 +272,12 @@ def _enum_mask(members: list, val: pa.Array, isnull: np.ndarray) -> np.ndarray:
         if len(vs):
             ok |= _np_bool(pc.fill_null(pc.is_in(cmp_val, value_set=vs), False))
     if composite_members and (pa.types.is_struct(t) or _is_list_t(t)):
-        pyvals = val.to_pylist()
-        for i in range(n):
-            if pyvals[i] is not None:
-                v = _strip_absent(pyvals[i])
-                if any(E.json_equal(v, m) for m in composite_members):
-                    ok[i] = True
+        valid_idx = np.nonzero(_valid_mask(val))[0]
+        sub = val.take(pa.array(valid_idx)).to_pylist()
+        for i, raw in zip(valid_idx.tolist(), sub):
+            v = _strip_absent(raw)
+            if any(E.json_equal(v, m) for m in composite_members):
+                ok[i] = True
     return ok
 
 
@@ -289,7 +297,9 @@ def _list_offsets(val: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     t = val.type
     if pa.types.is_fixed_size_list(t):
         w = t.list_size
-        offs = np.arange(len(val) + 1, dtype=np.int64) * w
+        # offsets are absolute into .values (full child buffer): account for
+        # a sliced array's offset
+        offs = (np.arange(len(val) + 1, dtype=np.int64) + val.offset) * w
         return offs[:-1], offs[1:]
     offs = val.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return offs[:-1], offs[1:]
@@ -386,9 +396,10 @@ def _first_dup_idx(val: pa.Array, active: np.ndarray) -> dict[int, int]:
             for p in np.unique(parent[marked]).tolist():
                 out[int(p)] = int(first[p])
     else:
-        pyl = val.to_pylist()
-        for s in np.nonzero(cand)[0].tolist():
-            arr = [None if x is None else _strip_absent(x) for x in pyl[s]]
+        cand_slots = np.nonzero(cand)[0]
+        sub_pyl = val.take(pa.array(cand_slots)).to_pylist()
+        for s, lst in zip(cand_slots.tolist(), sub_pyl):
+            arr = [None if x is None else _strip_absent(x) for x in lst]
             done = False
             for i in range(len(arr)):
                 for j in range(i + 1, len(arr)):
@@ -656,8 +667,9 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
             num_ok = alive & ~bad
         k += 1
         if num_ok.any() and (plan.minimum is not None or plan.maximum is not None):
-            f = pc.fill_null(pc.cast(val, pa.float64()), 0.0).to_numpy(
-                zero_copy_only=False)
+            # lossy cast == reference's as_f64 (big int64s round, never raise)
+            f = pc.fill_null(pc.cast(val, pa.float64(), safe=False),
+                             0.0).to_numpy(zero_copy_only=False)
             if plan.minimum is not None:
                 fail = num_ok & (f < plan.minimum)
                 if fail.any():
@@ -900,8 +912,9 @@ def eval_valid(plan: Plan, val: pa.Array, present: np.ndarray) -> np.ndarray:
         apply(ok)
         num_ok = present & ok
         if num_ok.any() and (plan.minimum is not None or plan.maximum is not None):
-            f = pc.fill_null(pc.cast(val, pa.float64()), 0.0).to_numpy(
-                zero_copy_only=False)
+            # lossy cast == reference's as_f64 (big int64s round, never raise)
+            f = pc.fill_null(pc.cast(val, pa.float64(), safe=False),
+                             0.0).to_numpy(zero_copy_only=False)
             if plan.minimum is not None:
                 valid &= (f >= plan.minimum) | ~num_ok
             if plan.maximum is not None:
@@ -1001,8 +1014,6 @@ def validate_batch(plan: Plan, batch: pa.Table) -> list[tuple[int, int, dict]]:
         return em.build()
     batch = batch.combine_chunks()
     arrays = [_decode(batch.column(i)) for i in range(batch.num_columns)]
-    arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-              for a in arrays]
     root = pa.StructArray.from_arrays(arrays, names=batch.column_names)
     n = len(batch)
     ctx = Ctx(root, np.ones(n, dtype=bool), np.arange(n, dtype=np.int64),

@@ -38,6 +38,15 @@ I64_MIN = -(2**63)
 I64_MAX = 2**63 - 1
 
 
+def _as_f64(v) -> float:
+    """Lossy f64 view of a JSON number (reference ``as_f64``); Python big
+    ints beyond f64 range clamp to +/-inf instead of raising."""
+    try:
+        return float(v)
+    except OverflowError:
+        return float("inf") if v > 0 else float("-inf")
+
+
 def _is_number(v: Any) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
@@ -162,13 +171,13 @@ def validate(schema: Schema, instance: Any, root: Optional[Schema] = None) -> li
                 out.append({"kind": E.EXPECTED_INTEGER, "path": path,
                             "got": E.json_type_name(inst)})
             else:
-                _numeric_bounds(node, float(inst), path, out)
+                _numeric_bounds(node, _as_f64(inst), path, out)
         elif t == "number":
             if not _is_number(inst):
                 out.append({"kind": E.EXPECTED_NUMBER, "path": path,
                             "got": E.json_type_name(inst)})
             else:
-                _numeric_bounds(node, float(inst), path, out)
+                _numeric_bounds(node, _as_f64(inst), path, out)
         elif t == "array":
             if not isinstance(inst, list):
                 out.append({"kind": E.EXPECTED_ARRAY, "path": path,

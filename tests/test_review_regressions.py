@@ -1,0 +1,81 @@
+"""Regression tests for self-review findings (round 1): numeric overflow
+paths, huge consts, decimal routing, sliced fixed-size lists."""
+
+import pyarrow as pa
+import pytest
+
+from engine.compile import compile_plan
+from engine.kernels import validate_batch
+from engine.oracle import validate as oracle_validate
+from engine.rows import table_to_json_rows
+from engine.schema import parse_schema
+
+
+def parity(schema_json, table):
+    schema = parse_schema(schema_json)
+    got = validate_batch(compile_plan(schema), table)
+    exp = []
+    for r, inst in enumerate(table_to_json_rows(table)):
+        for s, e in enumerate(oracle_validate(schema, inst)):
+            exp.append((r, s, e))
+    assert got == exp
+    return got
+
+
+def test_int64_beyond_2_53_with_bounds_does_not_crash():
+    t = pa.table({"x": pa.array([2**53 + 1, -(2**53) - 1, 5], pa.int64())})
+    s = ('{"type":"object","properties":'
+         '{"x":{"type":"integer","minimum":0,"maximum":1e20}}}')
+    errs = parity(s, t)
+    # -(2^53)-1 is below minimum; big positives pass via lossy f64
+    assert [e["kind"] for _, _, e in errs] == ["BelowMinimum"]
+
+
+def test_huge_and_negative_consts_against_uint64():
+    t = pa.table({"x": pa.array([2**63 + 5, 1], pa.uint64())})
+    big = 2**63 + 5
+    errs = parity('{"type":"object","properties":{"x":{"const": %d}}}' % big, t)
+    assert [(d, e["kind"]) for d, _, e in errs] == [(1, "NotConst")]
+    errs = parity('{"type":"object","properties":{"x":{"const": -1}}}', t)
+    assert len(errs) == 2
+    errs = parity('{"type":"object","properties":{"x":{"const": %d}}}'
+                  % (2**64 + 1), t)
+    assert len(errs) == 2  # out-of-range const matches nothing, no crash
+
+
+def test_oracle_huge_python_int_clamps_to_inf():
+    s = parse_schema('{"type":"number","minimum":0}')
+    big = int("9" + "0" * 400)
+    assert oracle_validate(s, big) == []
+    s2 = parse_schema('{"type":"number","maximum":100}')
+    errs = oracle_validate(s2, big)
+    assert [e["kind"] for e in errs] == ["AboveMaximum"]
+    # integer type still rejects > i64 (reference as_i64 semantics)
+    s3 = parse_schema('{"type":"integer"}')
+    assert [e["kind"] for e in oracle_validate(s3, big)] == \
+        ["ExpectedInteger"]
+
+
+def test_decimal_column_routes_to_unsupported():
+    t = pa.table({"x": pa.array([1, 2], pa.decimal128(5, 2))})
+    s = '{"type":"object","properties":{"x":{"type":"number"}}}'
+    with pytest.raises(TypeError, match="no JSON mapping"):
+        validate_batch(compile_plan(parse_schema(s)), t)
+
+
+def test_sliced_fixed_size_list_offsets():
+    fsl = pa.array([[1, 2], [3, 4], [99, -5]],
+                   pa.list_(pa.int64(), 2)).slice(2)
+    t = pa.Table.from_arrays([fsl], names=["x"])
+    s = ('{"type":"object","properties":{"x":{"type":"array",'
+         '"items":{"type":"integer","minimum":0}}}}')
+    errs = parity(s, t)
+    assert [(d, e["path"]) for d, _, e in errs] == [(0, ("x", "1"))]
+
+
+def test_zero_column_rows_fail_required():
+    t = pa.table({"meta": pa.array([1, 2])}).select([])
+    s = '{"type":"object","required":["x"]}'
+    errs = validate_batch(compile_plan(parse_schema(s)), t)
+    assert [(d, e["kind"]) for d, _, e in errs] == \
+        [(0, "MissingRequired"), (1, "MissingRequired")]
