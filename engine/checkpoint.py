@@ -27,7 +27,8 @@ def _input_fingerprint(paths: Sequence[str]) -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{os.path.basename(p)}:{st.st_size}".encode())
+        h.update(f"{os.path.basename(p)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
@@ -231,8 +232,17 @@ def _run_global_checks(corpus_dir: str, out_dir: str,
 
     _step("uniqueness", lambda: duplicate_keys(ds, "doc_id"))
     if catalog_path:
+        # exact membership set (media catalogs here are broadcastable);
+        # for catalogs too large to broadcast, swap in the Bloom prefilter
+        # + referential.dangling_fk_rows exact anti-join on the misses
         catalog = ray.data.read_parquet(catalog_path)
         _step("referential",
-              lambda: check_references(ds, catalog, exact=False))
-    baseline = build_baseline(ds, exclude_partitions=baseline_exclude)
-    _step("drift", lambda: drift_check(ds, baseline))
+              lambda: check_references(ds, catalog, exact=True))
+
+    def _drift():
+        # baseline built lazily INSIDE the step so a resumed run with the
+        # drift marker present never re-scans the corpus
+        baseline = build_baseline(ds, exclude_partitions=baseline_exclude)
+        return drift_check(ds, baseline)
+
+    _step("drift", _drift)

@@ -263,6 +263,12 @@ class JsonColumnValidator:
         out = []
         for key, txt in zip(keys, texts):
             if txt is None:
+                # absent instance is at least as severe as malformed JSON —
+                # record it rather than silently passing the row
+                out.append({self.key_column: key, "error_seq": 0,
+                            "error_kind": "MissingInstance",
+                            "instance_path": "",
+                            "message": "instance column is null"})
                 continue
             try:
                 inst = json.loads(txt)

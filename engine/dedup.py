@@ -50,7 +50,7 @@ def exact_duplicates(ds, *, text_col: str = "text", key_col: str = "doc_id",
         g = df.groupby("text_hash")["k"].agg(["min", "count"]).reset_index()
         return pa.table({
             "text_hash": pa.array(g["text_hash"], pa.string()),
-            "keep_id": pa.array(g["min"].astype(np.int64)),
+            "keep_id": pa.array(g["min"].tolist()),  # native key dtype
             "cnt": pa.array(g["count"].astype(np.int64)),
         })
 
@@ -493,8 +493,8 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
 
     def _key_pairs(df):
         keys = np.unique(df["key"].to_numpy())
-        out = [{"key_a": int(min(keys[i], keys[j])),
-                "key_b": int(max(keys[i], keys[j]))}
+        out = [{"key_a": min(keys[i], keys[j]),
+                "key_b": max(keys[i], keys[j])}
                for i in range(len(keys)) for j in range(i + 1, len(keys))]
         return pd.DataFrame(out, columns=["key_a", "key_b"])
 

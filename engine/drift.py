@@ -42,7 +42,11 @@ class _DriftPartialBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        parts = batch.column("partition_id").to_numpy(zero_copy_only=False)
+        if "partition_id" in batch.column_names:
+            parts = batch.column("partition_id").to_numpy(
+                zero_copy_only=False)
+        else:  # unpartitioned corpus: one logical partition
+            parts = np.full(len(batch), "all", dtype=object)
         rows = []
         wanted = set(self.numeric) | set(self.categorical)
         # map each leaf column's slots back to batch rows

@@ -74,7 +74,7 @@ def count_dangling_fk(fact_ds, dim_ds, *, fk: str, pk: str,
     agg = partials.sum("dangling")  # scalar
 
     import pyarrow as _pa
-    return _pa.table({"n_dangling": _pa.array([int(agg)], _pa.int64())})
+    return _pa.table({"n_dangling": _pa.array([int(agg or 0)], _pa.int64())})
 
 
 def dangling_fk_rows(fact_ds, dim_ds, *, fk: str, pk: str,

@@ -102,9 +102,14 @@ class ColumnStatsBatch:
                 else:
                     row["min_num"] = float(mm["min"].as_py())
                     row["max_num"] = float(mm["max"].as_py())
-                    vals = pc.cast(arr.drop_null(), pa.float64()).to_numpy(
+                    # HLL must hash native values (a float64 cast collapses
+                    # int64 ids beyond 2^53); t-digest alone takes the cast
+                    vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                    fvals = pc.cast(arr.drop_null(), pa.float64(),
+                                    safe=False).to_numpy(
                         zero_copy_only=False)
-                    row["tdigest"] = TDigest(self.delta).update(vals).to_bytes()
+                    row["tdigest"] = TDigest(self.delta).update(
+                        fvals).to_bytes()
                 row["hll"] = HLL(self.hll_p).update(vals).to_bytes()
             rows.append(row)
         return pa.Table.from_pylist(rows, schema=PARTIAL_SCHEMA)

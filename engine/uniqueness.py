@@ -29,12 +29,14 @@ class _KeyCountBatch:
         self.salt = salt_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
         keys = batch.column(self.key).to_numpy(zero_copy_only=False)
         uniq, counts = np.unique(keys, return_counts=True)
-        # salt derived from the batch content so the same key in different
-        # batches lands in different lanes (that's what splits a hot key)
-        salt = (hash64(uniq, seed=7)
-                ^ np.uint64(len(batch))) % np.uint64(self.salt)
+        # per-batch nonce: the SAME key must land in DIFFERENT salt lanes
+        # across batches, otherwise a hot key still collapses into one
+        # reduce group; lane choice never affects the final counts
+        nonce = np.frombuffer(os.urandom(8), dtype=np.uint64)[0]
+        salt = (hash64(uniq, seed=7) ^ nonce) % np.uint64(self.salt)
         return pa.table({
             "key": pa.array(uniq.tolist()),
             "salt": pa.array(salt.astype(np.int32)),

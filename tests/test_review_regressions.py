@@ -79,3 +79,59 @@ def test_zero_column_rows_fail_required():
     errs = validate_batch(compile_plan(parse_schema(s)), t)
     assert [(d, e["kind"]) for d, _, e in errs] == \
         [(0, "MissingRequired"), (1, "MissingRequired")]
+
+
+def test_exact_dedup_string_keys(ray_session):
+    import pandas as pd
+    import ray.data
+    from engine.dedup import exact_duplicates
+    df = pd.DataFrame({"doc_id": ["doc-a", "doc-b", "doc-c"],
+                       "text": ["same", "same", "other"]})
+    out = exact_duplicates(ray.data.from_pandas(df)).to_pandas()
+    dup = out[out["dup_count"] > 1]
+    assert list(dup["keep_id"]) == ["doc-a"]
+
+
+def test_salt_scatters_hot_key_across_batches(ray_session):
+    import pandas as pd
+    import ray.data
+    from engine.uniqueness import _KeyCountBatch
+    import pyarrow as pa
+    stage = _KeyCountBatch("k", 16)
+    b = pa.table({"k": pa.array(["hot"] * 100)})
+    salts = {stage(b).column("salt")[0].as_py() for _ in range(24)}
+    assert len(salts) > 1  # same key, same batch size -> different lanes
+
+
+def test_null_json_instance_reported(ray_session):
+    import pandas as pd
+    import ray.data
+    from engine.dataset import validate_json_column
+    df = pd.DataFrame({"event_id": [1, 2], "props": ['{"k": 1}', None]})
+    out = validate_json_column(
+        ray.data.from_pandas(df), '{"type":"object","required":["k"]}',
+        column="props", key_column="event_id").to_pandas()
+    assert list(out["error_kind"]) == ["MissingInstance"]
+    assert list(out["event_id"]) == [2]
+
+
+def test_drift_unpartitioned_corpus(ray_session):
+    import ray.data
+    from engine.drift import build_baseline, drift_check
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    base = build_baseline(ds, numeric=("n_chars",), categorical=("lang",))
+    res = drift_check(ds, base, numeric=("n_chars",),
+                      categorical=("lang",)).to_pandas()
+    assert set(res["partition_id"]) == {"all"}
+    assert not res["drifted"].any()  # identical distribution
+
+
+def test_empty_fact_fk_count(ray_session):
+    import ray.data
+    from engine.referential import count_dangling_fk
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet").filter(
+        lambda r: False)
+    cust = ray.data.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    t = count_dangling_fk(orders, cust, fk="o_custkey", pk="c_custkey")
+    assert t.column("n_dangling").to_pylist() == [0]
