@@ -549,36 +549,40 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_frequency": r"""
             select token, count(distinct doc_id) as df
             from (select doc_id,
-                         unnest(string_split_regex(text, '\s+')) as token
+                         unnest(string_split_regex(coalesce(text, ''),
+                                                   '\s+')) as token
                   from documents)
             where token <> ''
             group by token
         """,
         "dedup_exact": """
-            select md5(text) as text_hash, min(doc_id) as keep_id,
+            select md5(coalesce(text, '')) as text_hash,
+                   min(doc_id) as keep_id,
                    count(*) as dup_count
-            from documents group by md5(text)
+            from documents group by md5(coalesce(text, ''))
         """,
         "token_counts": r"""
             select doc_id,
-                   len(regexp_extract_all(text, '\S+'))::bigint as n_tokens
+                   len(regexp_extract_all(coalesce(text, ''),
+                                          '\S+'))::bigint as n_tokens
             from documents
         """,
         "bpe_token_counts": r"""
             select doc_id,
                    len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::bigint
+                       coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::bigint
                    as n_bpe_tokens
             from documents
         """,
         "quality_scores": r"""
+            with d as (select doc_id, coalesce(text, '') as t from documents)
             select doc_id,
-                   length(text)::bigint as n_chars,
-                   len(regexp_extract_all(text, '\S+'))::bigint as n_tokens,
-                   len(regexp_extract_all(text, '[.,!?;:]'))::bigint
-                       as n_punct,
-                   len(regexp_extract_all(text, '[0-9]'))::bigint as n_digits
-            from documents
+                   length(t)::bigint as n_chars,
+                   len(regexp_extract_all(t, '\S+'))::bigint as n_tokens,
+                   len(regexp_extract_all(t, '[.,!?;:]'))::bigint as n_punct,
+                   len(regexp_extract_all(t, '[0-9]'))::bigint as n_digits
+            from d
         """,
         "lang_distribution": """
             select lang, count(*) as n_docs from documents group by lang

@@ -153,22 +153,26 @@ def main() -> int:
         base_env = dict(os.environ, GRAFT_SF_DIR=SF_DIR,
                         GRAFT_REPLICATE=str(REPLICATE),
                         GRAFT_SCALING_AMPLIFY=str(amplify))
-        # prebuild the corpus once at full parallelism (excluded from timing)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--prepare"],
-            capture_output=True, text=True,
-            env=dict(base_env, RAY_GRAFT_CPUS=str(hi_cpus)),
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        results = {}
-        for n in (lo_cpus, hi_cpus):
-            env = dict(base_env, RAY_GRAFT_CPUS=str(n))
+        def _run_child(argv, env):
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--headline-only"],
+                [sys.executable, os.path.abspath(__file__)] + argv,
                 capture_output=True, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = p.stdout.strip().splitlines()[-1]
-            results[n] = json.loads(line)
+            if p.returncode != 0 or (argv != ["--prepare"]
+                                     and not p.stdout.strip()):
+                sys.stderr.write(p.stderr[-2000:])
+                raise RuntimeError(
+                    f"bench child {argv} failed (rc={p.returncode})")
+            return p
+
+        # prebuild the corpus once at full parallelism (excluded from timing)
+        _run_child(["--prepare"],
+                   dict(base_env, RAY_GRAFT_CPUS=str(hi_cpus)))
+        results = {}
+        for n in (lo_cpus, hi_cpus):
+            p = _run_child(["--headline-only"],
+                           dict(base_env, RAY_GRAFT_CPUS=str(n)))
+            results[n] = json.loads(p.stdout.strip().splitlines()[-1])
         thr_lo = results[lo_cpus]["docs_per_sec"]
         thr_hi = results[hi_cpus]["docs_per_sec"]
         eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus) if thr_lo else 0.0

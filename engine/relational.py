@@ -87,8 +87,7 @@ def revenue_by_segment(orders_ds, customer_ds, *, batch_size: int = 65536,
             keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
             price = batch.column("o_totalprice").to_numpy(
                 zero_copy_only=False)
-            seg = np.array([self._lut.get(int(k)) for k in keys],
-                           dtype=object)
+            seg = pd.Series(keys).map(self._lut)  # vectorized hash lookup
             df = pd.DataFrame({"c_mktsegment": seg, "p": price})
             df = df[df["c_mktsegment"].notna()]
             g = df.groupby("c_mktsegment", sort=False).agg(
@@ -210,4 +209,5 @@ def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
                          "n_events": b.column("sum(cnt)")})
 
     out = agg.map_batches(_final, batch_format="pyarrow")
-    return out.sort("n_events", descending=True).limit(k)
+    return out.sort(["n_events", "event_type"],
+                    descending=[True, False]).limit(k)

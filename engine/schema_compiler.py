@@ -267,8 +267,11 @@ def target_arrow_schema(schema: Schema) -> pa.Schema:
 
 
 def structural_key(schema: Schema) -> str:
-    """Canonical structural fingerprint (Functional-mode DedupeKey analog:
-    identity/annotation fields excluded)."""
+    """Canonical structural fingerprint — the reference DedupeKey's field
+    set in Functional mode (``rust_backend.rs:210-231``): $id/description/
+    $comment/examples excluded; title, deprecated, default and the
+    structural keywords included; numeric bounds / enum / const are NOT
+    part of the reference key and are excluded here too."""
     def enc(s: Schema) -> dict:
         d: dict[str, Any] = {}
         if s.type is not None:
@@ -285,15 +288,14 @@ def structural_key(schema: Schema) -> str:
             d["required"] = list(s.required)
         if s.items is not None:
             d["items"] = enc(s.items)
-        for name in ("unique_items", "min_items", "max_items", "min_length",
-                     "max_length", "pattern", "format", "minimum", "maximum"):
+        for name in ("title", "deprecated", "unique_items", "min_items",
+                     "max_items", "min_length", "max_length", "pattern",
+                     "format"):
             v = getattr(s, name)
             if v is not None:
                 d[name] = v
-        if s.enum is not None:
-            d["enum"] = s.enum
-        if s.const is not UNSET:
-            d["const"] = s.const
+        if s.default is not UNSET:
+            d["default"] = s.default
         return d
 
     return canonical_json(enc(schema))
@@ -340,9 +342,10 @@ def compile_batch(schema_jsons: list[str | dict], *,
 
 _INT_BOUNDS = {
     pa.int8(): (-128, 127), pa.int16(): (-32768, 32767),
-    pa.int32(): (-(2**31), 2**31 - 1), pa.int64(): None,
+    pa.int32(): (-(2**31), 2**31 - 1),
+    pa.int64(): (-(2**63), 2**63 - 1),
     pa.uint8(): (0, 255), pa.uint16(): (0, 65535),
-    pa.uint32(): (0, 4294967295), pa.uint64(): None,
+    pa.uint32(): (0, 4294967295), pa.uint64(): (0, 2**64 - 1),
 }
 
 

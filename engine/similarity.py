@@ -33,6 +33,8 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
                              for v in np_arr])
         return np.asarray(np_arr, dtype=np.float64).reshape(len(arr), -1)
     arr = _decode(arr)
+    if len(arr) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     flat = arr.values.to_numpy(zero_copy_only=False)
     return np.asarray(flat, dtype=np.float64).reshape(len(arr), -1)
 
@@ -59,6 +61,10 @@ class _TopKBatch:
         return self._q
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "key": batch.column(self.key_col),
+                             "cosine": pa.array([], pa.float64())})
         q = self._queries()  # (nq, dim), unit rows
         mat = _normalize(_batch_matrix(batch, self.vec_col))
         sims = mat @ q.T  # (n, nq)
@@ -68,7 +74,13 @@ class _TopKBatch:
         out = {"query_id": [], "key": [], "cosine": []}
         for qi in range(nq):
             col = sims[:, qi]
-            idx = np.argpartition(-col, k - 1)[:k] if k < n else np.arange(n)
+            # candidate pool wider than k, then an exact (cosine desc,
+            # key asc) tiebreak so duplicate-score boundaries are stable
+            pool = min(4 * k, n)
+            cand = (np.argpartition(-col, pool - 1)[:pool]
+                    if pool < n else np.arange(n))
+            order = np.lexsort((keys[cand], -col[cand]))[:k]
+            idx = cand[order]
             out["query_id"].extend([qi] * len(idx))
             out["key"].extend(keys[idx].tolist())
             out["cosine"].extend(col[idx].tolist())

@@ -170,12 +170,21 @@ def build_corpus(sf_dir: str, out_dir: str, *, replicate: int = 1,
     write_media_catalog(out_dir)
     if os.path.exists(done_marker):
         return corpus_dir
+    # crash safety: write into a temp dir and commit via atomic rename, so a
+    # killed build never leaves a partial corpus that a rerun appends to
+    import shutil
+    tmp_dir = corpus_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    if os.path.exists(corpus_dir):
+        shutil.rmtree(corpus_dir)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     ds = ds.map_batches(
         SynthSpans(replicate=replicate, partitions=partitions, seed=seed),
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
-    ds.write_parquet(corpus_dir, partition_cols=["partition_id"])
+    ds.write_parquet(tmp_dir, partition_cols=["partition_id"])
+    os.rename(tmp_dir, corpus_dir)
     with open(done_marker, "w") as f:
         f.write("ok")
     return corpus_dir

@@ -123,14 +123,20 @@ class TestTargetSchema:
 
 class TestDedupe:
     def test_structural_dedupe(self):
-        a = s('{"type":"object","properties":{"x":{"type":"string"}},"title":"A"}')
-        b = s('{"type":"object","properties":{"x":{"type":"string"}},"title":"B"}')
+        # reference DedupeKey (functional mode): title is PART of the key
+        # (rust_backend.rs:581); $id/description/$comment/examples are not
+        a = s('{"type":"object","properties":{"x":{"type":"string"}},'
+              '"title":"A","description":"d1","$id":"i1"}')
+        a2 = s('{"type":"object","properties":{"x":{"type":"string"}},'
+               '"title":"A","description":"d2","$id":"i2"}')
+        b = s('{"type":"object","properties":{"x":{"type":"string"}},'
+              '"title":"B"}')
         c = s('{"type":"object","properties":{"x":{"type":"integer"}}}')
-        assign, canonical = dedupe_schemas([a, b, c])
-        # functional mode: annotations (title) excluded -> a == b
-        assert assign == [0, 0, 1]
-        assert len(canonical) == 2
-        assert structural_key(a) == structural_key(b)
+        assign, canonical = dedupe_schemas([a, a2, b, c])
+        assert assign == [0, 0, 1, 2]  # description/$id ignored, title kept
+        assert len(canonical) == 3
+        assert structural_key(a) == structural_key(a2)
+        assert structural_key(a) != structural_key(b)
         assert structural_key(a) != structural_key(c)
 
 
