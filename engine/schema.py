@@ -253,6 +253,83 @@ def parse_schema_path(path: str, *, strict: bool = False) -> Schema:
         return parse_schema(f.read(), strict=strict)
 
 
+def schema_to_dict(s: Schema) -> dict:
+    """Serialize back to schema JSON with the reference's skip rules and
+    field order (``json_schema.rs:277-403``): keys emitted in struct
+    declaration order; ``$defs``/``definitions``/``properties``/``required``/
+    ``enum``/``allOf``/``anyOf``/``oneOf`` skipped when None OR empty; other
+    optionals skipped when None; ``additionalProperties`` tri-state re-emits
+    true/false/schema."""
+    out: dict[str, Any] = {}
+    if s.schema_uri is not None:
+        out["$schema"] = s.schema_uri
+    if s.id is not None:
+        out["$id"] = s.id
+    if s.ref is not None:
+        out["$ref"] = s.ref
+    if s.type is not None:
+        out["type"] = s.type
+    if s.defs:
+        out["$defs"] = {k: schema_to_dict(v)
+                        for k, v in sorted(s.defs.items())}
+    if s.definitions:
+        out["definitions"] = {k: schema_to_dict(v)
+                              for k, v in sorted(s.definitions.items())}
+    if s.properties:
+        out["properties"] = {k: schema_to_dict(v)
+                             for k, v in sorted(s.properties.items())}
+    ap = s.additional_properties
+    if ap is not None:
+        out["additionalProperties"] = (
+            True if ap == AP_ALLOW else
+            False if ap == AP_FORBID else schema_to_dict(ap))
+    if s.required:
+        out["required"] = list(s.required)
+    if s.title is not None:
+        out["title"] = s.title
+    if s.description is not None:
+        out["description"] = s.description
+    if s.comment is not None:
+        out["$comment"] = s.comment
+    if s.enum:
+        out["enum"] = list(s.enum)
+    if s.const is not UNSET:
+        out["const"] = s.const
+    if s.items is not None:
+        out["items"] = schema_to_dict(s.items)
+    if s.unique_items is not None:
+        out["uniqueItems"] = s.unique_items
+    if s.min_items is not None:
+        out["minItems"] = s.min_items
+    if s.max_items is not None:
+        out["maxItems"] = s.max_items
+    if s.minimum is not None:
+        out["minimum"] = s.minimum
+    if s.maximum is not None:
+        out["maximum"] = s.maximum
+    if s.min_length is not None:
+        out["minLength"] = s.min_length
+    if s.max_length is not None:
+        out["maxLength"] = s.max_length
+    if s.pattern is not None:
+        out["pattern"] = s.pattern
+    if s.format is not None:
+        out["format"] = s.format
+    if s.default is not UNSET:
+        out["default"] = s.default
+    if s.deprecated is not None:
+        out["deprecated"] = s.deprecated
+    if s.examples is not None:
+        out["examples"] = list(s.examples)
+    if s.all_of:
+        out["allOf"] = [schema_to_dict(x) for x in s.all_of]
+    if s.any_of:
+        out["anyOf"] = [schema_to_dict(x) for x in s.any_of]
+    if s.one_of:
+        out["oneOf"] = [schema_to_dict(x) for x in s.one_of]
+    return out
+
+
 #: Draft markers for spec-version inference, newest first (reference
 #: ``json_schema/spec_version.rs:7-87`` — an inert annotation: it does not
 #: change validation behavior, matching the reference today).

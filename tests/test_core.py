@@ -252,3 +252,44 @@ class TestAllDisplayTemplates:
         assert {c[0]["kind"] for c in cases} == set(E.ALL_KINDS)
         for err, expected in cases:
             assert E.render_message(err) == expected
+
+
+class TestSchemaSerialization:
+    def test_round_trip_and_field_order(self):
+        import json
+        from engine.schema import parse_schema, schema_to_dict
+        src = '''{
+          "$schema": "https://json-schema.org/draft/2020-12/schema",
+          "type": "object", "required": ["a"],
+          "properties": {"a": {"type": "integer", "minimum": 0,
+                               "maximum": 10},
+                         "b": {"type": "array", "minItems": 1,
+                               "uniqueItems": true,
+                               "items": {"enum": ["x", "y"]}}},
+          "additionalProperties": false,
+          "$defs": {"S": {"type": "string", "pattern": "^a",
+                          "minLength": 1, "title": "T",
+                          "default": null, "deprecated": true}},
+          "allOf": [{"type": "object"}]}'''
+        s1 = parse_schema(src)
+        d = schema_to_dict(s1)
+        s2 = parse_schema(d)
+        assert schema_to_dict(s2) == d  # stable round-trip
+        # serde struct-declaration field order
+        assert list(d.keys()) == ["$schema", "type", "$defs", "properties",
+                                  "additionalProperties", "required", "allOf"]
+        sd = d["$defs"]["S"]
+        assert list(sd.keys()) == ["type", "title", "minLength", "pattern",
+                                   "default", "deprecated"]
+        # const null vs absent survives the round-trip
+        from engine.schema import UNSET
+        assert parse_schema(schema_to_dict(
+            parse_schema('{"const": null}'))).const is None
+        assert parse_schema(schema_to_dict(parse_schema('{}'))).const is UNSET
+
+    def test_empty_containers_skipped(self):
+        from engine.schema import parse_schema, schema_to_dict
+        d = schema_to_dict(parse_schema(
+            '{"required": [], "enum": [], "properties": {}, "allOf": [],'
+            ' "$defs": {}}'))
+        assert d == {}  # all skip rules fire (None OR empty)
