@@ -114,15 +114,25 @@ def rand_table_and_schema(seed: int) -> tuple[str, pa.Table]:
             cols[name] = pa.array(
                 [None if rng.random() < 0.2 else
                  {"k": str_val(), "v": int_val()} for _ in range(n)], st)
-            props[name] = {
+            obj_schema = {
                 "type": "object",
                 "required": rng.sample(["k", "v"], k=rng.randint(0, 2)),
                 "properties": {"k": rand_scalar_schema(rng, "str"),
                                "v": rand_scalar_schema(rng, "int")},
             }
             if rng.random() < 0.3:
-                props[name]["additionalProperties"] = rng.choice(
+                obj_schema["additionalProperties"] = rng.choice(
                     [False, {"type": "integer"}])
+            if rng.random() < 0.35:
+                # combinators over OBJECT shapes: mask-mode must descend
+                # through required/properties/additionalProperties subtrees
+                alt = {"type": "object",
+                       "required": rng.sample(["k", "v"],
+                                              k=rng.randint(1, 2))}
+                comb = rng.choice(["anyOf", "oneOf", "allOf"])
+                obj_schema = {comb: ([obj_schema, alt] if comb != "allOf"
+                                     else [obj_schema])}
+            props[name] = obj_schema
 
     schema: dict = {"type": "object", "properties": props}
     if rng.random() < 0.5:
