@@ -59,6 +59,10 @@ class Plan:
     minimum: Optional[float] = None
     maximum: Optional[float] = None
     format_uuid: bool = False  # set only when engine.config.UUID_FORMAT
+    # compile-time display caches (recomputing canonical JSON per failing
+    # row is measurable in the hot path)
+    enum_allowed_display: Optional[list[str]] = None
+    const_display: Optional[str] = None
 
 
 def compile_plan(schema: Schema, root: Optional[Schema] = None) -> Plan:
@@ -86,6 +90,11 @@ def _compile(node: Schema, root: Schema, memo: dict[int, Plan]) -> Plan:
     s = resolved
     p.const = s.const
     p.enum = list(s.enum) if s.enum is not None else None
+    from engine.errors import canonical_json
+    if s.const is not UNSET:
+        p.const_display = canonical_json(s.const)
+    if s.enum:
+        p.enum_allowed_display = [canonical_json(m) for m in s.enum]
     if s.any_of is not None:
         p.any_of = [_compile(b, root, memo) for b in s.any_of]
     if s.one_of is not None:

@@ -514,7 +514,7 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
         ok = _scalar_eq_mask(plan.const, val, isnull)
         fail = alive & ~ok
         if fail.any():
-            expected = E.canonical_json(plan.const)
+            expected = plan.const_display
             canon = _canon_at(val, isnull)
             em.emit(ctx, k, fail, E.NOT_CONST,
                     ctx_fn=lambda i: {"expected": expected, "actual": canon(i)})
@@ -527,7 +527,7 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
         ok = _enum_mask(plan.enum, val, isnull)
         fail = alive & ~ok
         if fail.any():
-            allowed = [E.canonical_json(m) for m in plan.enum]
+            allowed = plan.enum_allowed_display
             canon = _canon_at(val, isnull)
             em.emit(ctx, k, fail, E.NOT_IN_ENUM,
                     ctx_fn=lambda i: {"invalid_value": canon(i),
