@@ -293,3 +293,19 @@ class TestSchemaSerialization:
             '{"required": [], "enum": [], "properties": {}, "allOf": [],'
             ' "$defs": {}}'))
         assert d == {}  # all skip rules fire (None OR empty)
+
+
+class TestStrictModeNested:
+    def test_unknown_keys_rejected_at_any_depth(self):
+        from engine.schema import SchemaParseError, parse_schema
+        nested = ('{"type":"object","properties":{"a":{"$defs":'
+                  '{"X":{"frobnicate":1}}}}}')
+        assert parse_schema(nested).properties["a"].defs["X"] is not None
+        import pytest
+        with pytest.raises(SchemaParseError, match="frobnicate"):
+            parse_schema(nested, strict=True)
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"items":{"additionalProperties":{"zzz":1}}}',
+                         strict=True)
+        with pytest.raises(SchemaParseError):
+            parse_schema('{"allOf":[{"nope":1}]}', strict=True)
