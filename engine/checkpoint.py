@@ -246,3 +246,35 @@ def _run_global_checks(corpus_dir: str, out_dir: str,
         return drift_check(ds, baseline)
 
     _step("drift", _drift)
+    if summary.get("drift") == "done":
+        _fold_drift_into_verdicts(out_dir)
+
+
+def _fold_drift_into_verdicts(out_dir: str) -> None:
+    """Per-partition drift failures join the verdict's checks_failed list
+    (FIXTURES §5: verdicts carry every failed check, not just keyword
+    validation). Runs once, right after the drift step commits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drift_dir = os.path.join(out_dir, "checks", "drift")
+    if not os.path.isdir(drift_dir):
+        return
+    drifted = set()
+    dt = pq.read_table(drift_dir, columns=["partition_id", "drifted"])
+    for pid, flag in zip(dt.column("partition_id").to_pylist(),
+                         dt.column("drifted").to_pylist()):
+        if flag:
+            drifted.add(pid)
+    for pid in drifted:
+        vpath = os.path.join(out_dir, "verdicts", f"partition_id={pid}",
+                             "verdict.parquet")
+        if not os.path.exists(vpath):
+            continue
+        row = pq.read_table(vpath).to_pylist()[0]
+        checks = list(row.get("checks_failed") or [])
+        if "drift" not in checks:
+            checks.append("drift")
+        row["checks_failed"] = checks
+        row["pass"] = False
+        pq.write_table(pa.Table.from_pylist([row]), vpath)

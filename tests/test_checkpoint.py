@@ -97,3 +97,15 @@ def test_cli_validate_doc(tmp_path):
     assert r.returncode == 1
     assert '/a: expected integer, got string' in r.stderr
     assert 'validation failed with 1 error(s)' in r.stderr
+
+
+def test_drift_folds_into_verdicts(corpus, ray_session, tmp_path):
+    from engine.checkpoint import run_validation_job
+    _, corpus_dir = corpus
+    out = str(tmp_path / "jobd")
+    run_validation_job(corpus_dir, out, baseline_exclude=["p0003"])
+    import pyarrow.parquet as pq
+    v = pq.read_table(os.path.join(out, "verdicts")).to_pandas()
+    drifted = v[v["checks_failed"].map(lambda c: "drift" in list(c))]
+    assert "p0003" in set(drifted["partition_id"].astype(str))
+    assert not drifted["pass"].any()
