@@ -11,14 +11,21 @@ drift) and training-data operators (dedup / similarity / text analysis) that a
 Reference semantics are cited per-module as ``/root/reference/<file>:<lines>``.
 """
 
-from engine.schema import Schema, parse_schema, SchemaParseError
+from engine.schema import (Schema, SchemaParseError, parse_schema,
+                           parse_schema_path, schema_to_dict)
 from engine.oracle import validate as oracle_validate
 from engine.errors import render_message
 
 __all__ = [
     "Schema",
     "parse_schema",
+    "parse_schema_path",
+    "schema_to_dict",
     "SchemaParseError",
     "oracle_validate",
     "render_message",
+    # heavier entry points are imported from their modules to keep
+    # `import engine` light: engine.compile.compile_plan,
+    # engine.kernels.validate_batch, engine.dataset.validate_dataset,
+    # engine.checkpoint.run_validation_job, engine.schema_compiler.*
 ]
