@@ -137,6 +137,21 @@ def main() -> int:
         print(json.dumps({**res, "num_cpus": NUM_CPUS}))
         return 0
 
+    if "--stats" in sys.argv:
+        # per-operator ds.stats() evidence for the headline validation
+        import ray
+        import ray.data
+        from engine.dataset import validate_dataset
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, log_to_driver=False)
+        corpus = ensure_corpus()
+        ds = ray.data.read_parquet(corpus)
+        viol = validate_dataset(ds, batch_size=8192, with_message=False)
+        mat = viol.materialize()  # stats attach to the executed plan
+        print(mat.stats())
+        ray.shutdown()
+        return 0
+
     if "--scaling" in sys.argv:
         # Fresh process per parallelism level, same materialized input.
         # The base corpus is synthesized once, then hardlink-amplified so
