@@ -24,14 +24,20 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 # helpers
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=None):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
 
 
-def _read(sf_dir: str, name: str):
+def _read(sf_dir: str, name: str, columns=None):
+    """Column-pruned parquet read: pass ``columns`` so only the needed
+    columns leave storage (Ray does not push projections through
+    ``map_batches``; at 100 TB an unpruned scan is the largest wasted-IO
+    multiplier)."""
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns)
 
 
 def _round_half_away(x, decimals: int):
@@ -104,7 +110,8 @@ def _q_stats_documents(sf_dir: str):
 
 def _q_duplicate_keys_lineitem(sf_dir: str):
     from engine.uniqueness import duplicate_keys
-    d = duplicate_keys(_read(sf_dir, "lineitem"), key="l_orderkey")
+    d = duplicate_keys(_read(sf_dir, "lineitem", columns=["l_orderkey"]),
+                       key="l_orderkey")
 
     def _rename(b: pa.Table) -> pa.Table:
         return pa.table({"l_orderkey": b.column("key"),
@@ -114,21 +121,23 @@ def _q_duplicate_keys_lineitem(sf_dir: str):
 
 def _q_referential_orders(sf_dir: str):
     from engine.referential import count_dangling_fk
-    return count_dangling_fk(_read(sf_dir, "orders"),
-                             _read(sf_dir, "customer"),
-                             fk="o_custkey", pk="c_custkey")
+    return count_dangling_fk(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        fk="o_custkey", pk="c_custkey")
 
 
 def _q_referential_lineitem_part(sf_dir: str):
     from engine.referential import count_dangling_fk
-    return count_dangling_fk(_read(sf_dir, "lineitem"),
-                             _read(sf_dir, "part"),
-                             fk="l_partkey", pk="p_partkey")
+    return count_dangling_fk(
+        _read(sf_dir, "lineitem", columns=["l_partkey"]),
+        _read(sf_dir, "part", columns=["p_partkey"]),
+        fk="l_partkey", pk="p_partkey")
 
 
 def _q_token_doc_frequency(sf_dir: str):
     from engine.textstats import token_doc_frequency
-    return token_doc_frequency(_docs(sf_dir))
+    return token_doc_frequency(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_anti_join_orders(sf_dir: str):
@@ -140,9 +149,9 @@ def _q_anti_join_orders(sf_dir: str):
         keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
         return b.filter(pa.array((keys % 7) != 0))
 
-    dim = _read(sf_dir, "customer").map_batches(
+    dim = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         _restrict, batch_format="pyarrow")
-    d = dangling_fk_rows(_read(sf_dir, "orders"), dim,
+    d = dangling_fk_rows(_read(sf_dir, "orders", columns=["o_custkey"]), dim,
                          fk="o_custkey", pk="c_custkey")
 
     def _rename(b: pa.Table) -> pa.Table:
@@ -153,17 +162,17 @@ def _q_anti_join_orders(sf_dir: str):
 
 def _q_dedup_exact(sf_dir: str):
     from engine.dedup import exact_duplicates
-    return exact_duplicates(_docs(sf_dir))
+    return exact_duplicates(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_token_counts(sf_dir: str):
     from engine.textstats import token_counts
-    return token_counts(_docs(sf_dir))
+    return token_counts(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_bpe_token_counts(sf_dir: str):
     from engine.textstats import bpe_ish_token_counts
-    return bpe_ish_token_counts(_docs(sf_dir))
+    return bpe_ish_token_counts(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_quality(sf_dir: str):
@@ -183,12 +192,12 @@ def _q_quality(sf_dir: str):
                 pc.count_substring_regex(t, r"[0-9]"), 0), pa.int64()),
         })
 
-    return _docs(sf_dir).map_batches(_fn, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_lang_distribution(sf_dir: str):
-    ds = _docs(sf_dir).groupby("lang").count()
+    ds = _docs(sf_dir, columns=["lang"]).groupby("lang").count()
 
     def _rename(b: pa.Table) -> pa.Table:
         return pa.table({"lang": b.column("lang"),
@@ -198,32 +207,39 @@ def _q_lang_distribution(sf_dir: str):
 
 def _q_q1(sf_dir: str):
     from engine.relational import q1_pricing_summary
-    df = q1_pricing_summary(_read(sf_dir, "lineitem")).to_pandas()
+    df = q1_pricing_summary(_read(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount"])).to_pandas()
     return _round_cols(df, {"sum_qty": 4, "sum_base_price": 4,
                             "sum_disc_price": 4, "avg_qty": 4})
 
 
 def _q_revenue_by_segment(sf_dir: str):
     from engine.relational import revenue_by_segment
-    df = revenue_by_segment(_read(sf_dir, "orders"),
-                            _read(sf_dir, "customer")).to_pandas()
+    df = revenue_by_segment(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_mktsegment"])).to_pandas()
     return _round_cols(df, {"revenue": 4})
 
 
 def _q_events_window(sf_dir: str):
     from engine.relational import events_per_user_hour
-    df = events_per_user_hour(_read(sf_dir, "events")).to_pandas()
+    df = events_per_user_hour(_read(sf_dir, "events", columns=[
+        "user_id", "ts", "value"])).to_pandas()
     return _round_cols(df, {"value_sum": 4})
 
 
 def _q_sessionize(sf_dir: str):
     from engine.relational import sessionize
-    return sessionize(_read(sf_dir, "events"), gap_minutes=30)
+    return sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                       gap_minutes=30)
 
 
 def _q_top_event_types(sf_dir: str):
     from engine.relational import top_event_types
-    out = top_event_types(_read(sf_dir, "events"), k=5).to_pandas()
+    out = top_event_types(_read(sf_dir, "events", columns=["event_type"]),
+                          k=5).to_pandas()
     return out.sort_values(["n_events", "event_type"],
                            ascending=[False, True]).reset_index(drop=True)
 
@@ -236,7 +252,9 @@ def _q_ann_topk(sf_dir: str):
     df = emb.to_pandas().set_index("vec_id")
     qids = [0, 7]
     queries = np.stack([np.asarray(df.loc[q, "embedding"]) for q in qids])
-    out = cosine_topk(_read(sf_dir, "embeddings"), queries, k=5).to_pandas()
+    out = cosine_topk(_read(sf_dir, "embeddings",
+                            columns=["vec_id", "embedding"]),
+                      queries, k=5).to_pandas()
     out["query_id"] = out["query_id"].map(
         {i: q for i, q in enumerate(qids)}).astype("int32")
     out = _round_cols(out, {"cosine": 4})
@@ -248,7 +266,7 @@ def _q_ann_topk(sf_dir: str):
 
 def _spans_corpus(sf_dir: str, partitions: int = 4):
     from engine.synth import SynthSpans
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         SynthSpans(replicate=1, partitions=partitions, seed=42),
         batch_format="pyarrow", batch_size=4096)
 
@@ -288,7 +306,8 @@ def _q_spans_stats(sf_dir: str):
 
 def _q_minhash_near_dup(sf_dir: str):
     from engine.dedup import minhash_near_duplicates
-    return minhash_near_duplicates(_docs(sf_dir), threshold=0.5)
+    return minhash_near_duplicates(_docs(sf_dir, columns=["doc_id", "text"]),
+                                   threshold=0.5)
 
 
 def _q_simhash(sf_dir: str):
@@ -302,14 +321,60 @@ def _q_simhash(sf_dir: str):
             "simhash": pa.array([f"{int(v):016x}"
                                  for v in b.column("simhash").to_pylist()],
                                 pa.string())})
-    return simhash_fingerprints(_docs(sf_dir)).map_batches(
+    return simhash_fingerprints(
+        _docs(sf_dir, columns=["doc_id", "text"])).map_batches(
         _cast, batch_format="pyarrow")
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """Embedding near-dup over the embeddings table augmented with planted
+    exact copies (vec_id + 1_000_000 for vec_id < 20) so the answer is
+    non-empty and SQL-checkable: identical vectors land in the same LSH
+    bucket in every table (guaranteed recall), cosine = 1.0 >= 0.99; the max
+    organic pairwise cosine in the synthetic corpus is ~0.51."""
+    import pyarrow.compute as pc
     from engine.dedup import embedding_near_duplicates
-    return embedding_near_duplicates(_read(sf_dir, "embeddings"),
-                                     threshold=0.8)
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _planted(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.less(b.column("vec_id"), 20))
+        return pa.table({
+            "vec_id": pc.add(sub.column("vec_id"), 1_000_000),
+            "embedding": sub.column("embedding")})
+
+    aug = base.union(base.map_batches(_planted, batch_format="pyarrow"))
+    out = embedding_near_duplicates(aug, threshold=0.99)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key_a": b.column("key_a"), "key_b": b.column("key_b"),
+            "cosine": pa.array(_round_half_away(
+                b.column("cosine").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def _q_jaccard_verify(sf_dir: str):
+    """Exact n-gram Jaccard verification of a deterministic candidate-pair
+    set (consecutive doc_ids among the first 200 docs), SQL-checkable via
+    DuckDB list_intersect over split word-3-gram shingles."""
+    import ray.data
+    from engine.dedup import verify_pairs_jaccard
+    n_pairs = 199
+    pairs = ray.data.from_arrow(pa.table({
+        "key_a": pa.array(list(range(0, n_pairs)), pa.int64()),
+        "key_b": pa.array(list(range(1, n_pairs + 1)), pa.int64())}))
+    out = verify_pairs_jaccard(
+        pairs, _docs(sf_dir, columns=["doc_id", "text"]),
+        n=3, threshold=0.0)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key_a": b.column("key_a"), "key_b": b.column("key_b"),
+            "jaccard": pa.array(_round_half_away(
+                b.column("jaccard").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow")
 
 
 def _q_ivf_topk(sf_dir: str):
@@ -319,19 +384,19 @@ def _q_ivf_topk(sf_dir: str):
                         columns=["vec_id", "embedding"]).to_pandas()
     queries = np.stack([np.asarray(v)
                         for v in emb["embedding"].head(3)])
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cb = train_codebook(ds, n_cells=8)
     return ivf_topk(ds, queries, cb, k=5, nprobe=4)
 
 
 def _q_langid(sf_dir: str):
     from engine.textstats import language_id
-    return language_id(_docs(sf_dir))
+    return language_id(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_fingerprints(sf_dir: str):
     from engine.textstats import fingerprints
-    return fingerprints(_docs(sf_dir))
+    return fingerprints(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _q_infer_schema_documents(sf_dir: str):
@@ -362,13 +427,15 @@ def _q_multimodal_features(sf_dir: str):
 
 def _q_train_test_split(sf_dir: str):
     from engine.sampling import assign_split
-    out = assign_split(_docs(sf_dir), key_col="doc_id", train_frac=0.9)
+    out = assign_split(_docs(sf_dir, columns=["doc_id"]), key_col="doc_id",
+                       train_frac=0.9)
     return out.select_columns(["doc_id", "split"])
 
 
 def _q_sample_fraction(sf_dir: str):
     from engine.sampling import sample_fraction
-    out = sample_fraction(_docs(sf_dir), 0.25, key_col="doc_id")
+    out = sample_fraction(_docs(sf_dir, columns=["doc_id"]), 0.25,
+                          key_col="doc_id")
     return out.select_columns(["doc_id"])
 
 
@@ -377,8 +444,11 @@ def _q_events_props_validation(sf_dir: str):
     schema = ('{"type":"object","required":["k"],'
               '"properties":{"k":{"type":"integer","minimum":0,'
               '"maximum":50}}}')
-    return validate_json_column(_read(sf_dir, "events"), schema,
-                                column="props", key_column="event_id")
+    out = validate_json_column(
+        _read(sf_dir, "events", columns=["event_id", "props"]), schema,
+        column="props", key_column="event_id")
+    return out.select_columns(["event_id", "error_seq", "error_kind",
+                               "instance_path"])
 
 
 def entry() -> Any:
@@ -405,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "jaccard_verify": _q_jaccard_verify,
         # text analysis
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -643,7 +714,8 @@ def oracle_sql() -> dict[str, str]:
             ), sess as (
               select user_id, ts,
                      sum(new_s) over (partition by user_id order by ts
-                                      rows unbounded preceding) as session_id
+                                      rows unbounded preceding)::bigint
+                         as session_id
               from marked)
             select user_id, session_id, count(*) as n_events,
                    min(ts) as session_start, max(ts) as session_end
@@ -660,5 +732,75 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from documents
             where substr(md5(cast(doc_id as varchar)), 1, 8)
                   < printf('%08x', {int(0.25 * 2**32)})
+        """,
+        "events_props_validation": """
+            with e as (select event_id, props from events),
+            k as (
+              select event_id, props,
+                     json_extract(props, '$.k') as kv,
+                     json_type(props, '$.k') as kt
+              from e where props is not null and json_valid(props))
+            select event_id, 0 as error_seq,
+                   'MissingInstance' as error_kind, '' as instance_path
+            from e where props is null
+            union all
+            select event_id, 0, 'InvalidJson', '' from e
+            where props is not null and not json_valid(props)
+            union all
+            select event_id, 0, 'MissingRequired', '/k' from k
+            where kv is null
+            union all
+            select event_id, 0, 'ExpectedInteger', '/k' from k
+            where kv is not null and kt not in ('UBIGINT', 'BIGINT')
+            union all
+            select event_id, 0, 'BelowMinimum', '/k' from k
+            where kt in ('UBIGINT', 'BIGINT') and kv::bigint < 0
+            union all
+            select event_id, 0, 'AboveMaximum', '/k' from k
+            where kt in ('UBIGINT', 'BIGINT') and kv::bigint > 50
+        """,
+        "embedding_near_dup": """
+            with aug as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000, embedding from embeddings
+              where vec_id < 20),
+            pairs as (
+              select a.vec_id as key_a, b.vec_id as key_b,
+                     list_cosine_similarity(a.embedding::double[],
+                                            b.embedding::double[]) as cos
+              from aug a join aug b on a.vec_id < b.vec_id)
+            select key_a, key_b, round(cos, 4) as cosine
+            from pairs where cos >= 0.99
+        """,
+        "jaccard_verify": r"""
+            with d as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') as w
+              from documents where doc_id <= 199),
+            sh as (
+              select doc_id,
+                     case
+                       when len(w) = 0 then []::varchar[]
+                       when len(w) < 3 then [array_to_string(w, ' ')]
+                       else list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     end as grams
+              from d),
+            g as (select doc_id, list_distinct(grams) as grams from sh),
+            pairs as (
+              select a.doc_id as key_a, b.doc_id as key_b,
+                     a.grams as ga, b.grams as gb
+              from g a join g b on b.doc_id = a.doc_id + 1
+              where a.doc_id < 199)
+            select key_a, key_b,
+                   round(case
+                     when len(ga) = 0 and len(gb) = 0 then 1.0
+                     else len(list_distinct(list_intersect(ga, gb)))::double
+                          / len(list_distinct(ga || gb))
+                   end, 4) as jaccard
+            from pairs
         """,
     }

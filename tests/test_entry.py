@@ -69,6 +69,7 @@ def test_all_queries_have_unique_names(contract):
     "events_per_user_hour", "top_event_types", "train_test_split",
     "sessionize_events",
     "sample_fraction",
+    "events_props_validation", "embedding_near_dup", "jaccard_verify",
 ])
 def test_sql_checked_query(contract, con, name):
     qs = contract.queries()
