@@ -159,62 +159,235 @@ class _MinHashBandBatch:
         })
 
 
-def _bucket_key_pairs(df):
-    """Candidate (key_a, key_b) pairs within one (band, band_hash) bucket."""
+def _bucket_key_pairs(df, max_bucket_size: int = 64):
+    """Candidate (key_a, key_b) pairs within one LSH bucket.
+
+    Defensive cap: a degenerate bucket of B members costs B^2 pairs; buckets
+    above ``max_bucket_size`` are dropped here too (the hot-bucket join
+    already filters them) so one flood bucket can never stall a reduce task.
+    Byte-identical floods belong to exact dedup, which has no such cap.
+    """
     import pandas as pd
     keys = np.unique(df["key"].to_numpy())
+    if len(keys) > max_bucket_size:
+        keys = keys[:0]
     rows = [{"key_a": keys[i], "key_b": keys[j]}
             for i in range(len(keys)) for j in range(i + 1, len(keys))]
     return pd.DataFrame(rows, columns=["key_a", "key_b"])
 
 
-def _hot_bucket_filter(banded, cols: list[str]):
-    """Filter an LSH-banded dataset down to buckets with >= 2 members.
+def _add_bkey(cols: list[str]):
+    """Batch fn appending ``bkey`` = one uint64 mix of the bucket columns.
 
-    ``map_groups`` over millions of mostly-singleton buckets pays python
-    overhead per group; instead, count buckets with a NATIVE groupby
-    aggregate, broadcast the (small) hot-bucket key set, and keep only rows
-    whose bucket is hot — the expensive per-group pair scan then runs on the
-    candidate sliver only. At near-dup rates of a few %, the sliver is a few
-    % of the banded rows.
+    A single fixed-width shuffle/join key instead of a multi-column tuple;
+    a 2^-64 hash collision merely merges two buckets, and every downstream
+    pair is re-verified (signature similarity / hamming / cosine), so a
+    collision can produce no wrong output.
+    """
+    def _fn(b: pa.Table) -> pa.Table:
+        acc = np.zeros(len(b), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                v = b.column(c).to_numpy(zero_copy_only=False)
+                acc = _splitmix(acc ^ v.astype(np.uint64), 29)
+        # 63-bit int64 (non-negative): uint64 keys round-trip Ray's
+        # sort-groupby as pickled objects, which breaks the acero hash join
+        bkey = (acc >> np.uint64(1)).astype(np.int64)
+        return b.append_column("bkey", pa.array(bkey, pa.int64()))
+    return _fn
+
+
+def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
+                     broadcast_limit: int = 5_000_000):
+    """Rows of an LSH-banded dataset whose bucket has 2..max members.
+
+    Nothing unbounded touches the driver and the banded dataset is never
+    pinned in the object store (at 10^12 docs x 16 bands a materialized
+    banded set would hold ~16x corpus rows; the cheap deterministic banding
+    map re-executes instead):
+
+    1. append ``bkey`` (63-bit bucket hash) per batch;
+    2. NATIVE groupby-count over a bkey-only projection (8-byte rows),
+       rebalanced so the reduce width tracks cluster CPUs;
+    3. keep bucket ids with ``2 <= count <= max_bucket_size`` — singletons
+       cannot form pairs, floods are pathological (see _bucket_key_pairs);
+       the hot-id set is materialized (bucket ids only — bounded by the
+       corpus near-dup rate, orders of magnitude below the banded rows);
+    4. semi-join the banded rows against the hot ids: if the hot set is
+       small (< broadcast_limit) broadcast a sorted id array once via
+       ``ray.put`` and filter map-only with a vectorized searchsorted;
+       otherwise run a distributed hash join whose aggregator count tracks
+       cluster CPUs.
     """
     import pyarrow.compute as pc
     import ray
 
-    from engine.shuffle import balance
-    banded = balance(banded).materialize()  # reused by count + filter passes
-    counts = banded.groupby(cols).count()
+    from engine.shuffle import balance, join_partitions
+
+    keyed = banded.map_batches(_add_bkey(cols), batch_format="pyarrow")
+    counts = balance(keyed.select_columns(["bkey"])).groupby("bkey").count()
 
     def _hot_only(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b.column("count()"), 2))
+        n = b.column("count()")
+        keep = pc.and_(pc.greater_equal(n, 2),
+                       pc.less_equal(n, max_bucket_size))
+        return b.filter(keep).select(["bkey"])
 
-    hot = counts.map_batches(_hot_only, batch_format="pyarrow")
-    hot_df = hot.to_pandas()
-    hot_keys = set(map(tuple, hot_df[cols].itertuples(index=False)))
-    ref = ray.put(hot_keys)
+    hot = counts.map_batches(_hot_only, batch_format="pyarrow").materialize()
+    if hot.count() > broadcast_limit:
+        return keyed.join(hot, join_type="inner",
+                          num_partitions=join_partitions(), on=("bkey",))
 
-    def _filter(b: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        col_vals = [b.column(c).to_pylist() for c in cols]
-        mask = np.array([tuple(v) in keys for v in zip(*col_vals)],
-                        dtype=bool)
-        return b.filter(pa.array(mask))
+    ids = np.sort(hot.to_pandas()["bkey"].to_numpy())
+    ref = ray.put(ids)
 
-    return banded.map_batches(_filter, batch_format="pyarrow")
+    class _HotMember:
+        def __init__(self, ids_ref):
+            self.ids_ref = ids_ref
+            self._ids = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._ids is None:
+                self._ids = ray.get(self.ids_ref) if isinstance(
+                    self.ids_ref, ray.ObjectRef) else self.ids_ref
+            v = b.column("bkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self._ids, v)
+            pos_c = np.minimum(pos, max(len(self._ids) - 1, 0))
+            mask = (self._ids[pos_c] == v) if len(self._ids) else \
+                np.zeros(len(v), dtype=bool)
+            return b.filter(pa.array(mask))
+
+    return keyed.map_batches(_HotMember(ref), batch_format="pyarrow")
+
+
+def _pair_key_bloom(uniq_pairs, *, fpr: float = 1e-3):
+    """Broadcastable Bloom filter over the distinct keys of a candidate-pair
+    dataset. Candidate keys are sparse (near-dup pairs only), so the filter
+    stays small; false positives only cost a wasted signature computation,
+    never a wrong answer (scoring joins on exact keys)."""
+    from engine.referential import build_bloom
+
+    def _emit_keys(b: pa.Table) -> pa.Table:
+        ka = b.column("key_a")
+        kb = b.column("key_b")
+        if isinstance(ka, pa.ChunkedArray):
+            ka = ka.combine_chunks()
+        if isinstance(kb, pa.ChunkedArray):
+            kb = kb.combine_chunks()
+        return pa.table({"key": pa.concat_arrays([ka, kb])})
+
+    keys_ds = uniq_pairs.map_batches(_emit_keys, batch_format="pyarrow")
+    return build_bloom(keys_ds, "key", capacity=max(uniq_pairs.count(), 1) * 2,
+                       fpr=fpr)
+
+
+def _join_pair_payload(uniq_pairs, payload, col: str):
+    """Join a (key, <col>) payload dataset onto both sides of a pair
+    dataset, producing ``<col>_a`` / ``<col>_b`` columns — the distributed
+    replacement for a driver-built key->payload dict."""
+    from engine.shuffle import join_partitions
+
+    def _rename(side: str):
+        def _fn(b: pa.Table) -> pa.Table:
+            return pa.table({f"key_{side}": b.column("key"),
+                             f"{col}_{side}": b.column(col)})
+        return _fn
+
+    pa_side = payload.map_batches(_rename("a"), batch_format="pyarrow")
+    pb_side = payload.map_batches(_rename("b"), batch_format="pyarrow")
+    n = join_partitions(4)
+    out = uniq_pairs.join(pa_side, join_type="inner", num_partitions=n,
+                          on=("key_a",))
+    return out.join(pb_side, join_type="inner", num_partitions=n,
+                    on=("key_b",))
+
+
+class _SigCandidatesBatch:
+    """Sparse signature recompute: keep only rows whose key hits the
+    broadcast candidate Bloom, and emit (key, sig-bytes). The Bloom ships
+    ONCE via ``ray.put`` and is read per actor, never per batch."""
+
+    def __init__(self, bloom_ref, text_col: str, key_col: str, k: int,
+                 shingle_n: int):
+        self.bloom_ref = bloom_ref
+        self.text_col = text_col
+        self.key_col = key_col
+        self.k = k
+        self.shingle_n = shingle_n
+        self._bloom = None
+
+    def _get_bloom(self):
+        if self._bloom is None:
+            import ray
+            obj = self.bloom_ref
+            self._bloom = ray.get(obj) if isinstance(
+                obj, ray.ObjectRef) else obj
+        return self._bloom
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bloom = self._get_bloom()
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        mask = bloom.contains(keys)
+        if not mask.any():
+            return pa.table({"key": pa.array([], batch.schema.field(
+                self.key_col).type), "sig": pa.array([], pa.binary())})
+        sub = batch.filter(pa.array(mask))
+        sig = minhash_signatures_batch(
+            sub.column(self.text_col).to_pylist(), self.k, self.shingle_n)
+        return pa.table({
+            "key": sub.column(self.key_col),
+            "sig": pa.array([sig[i].tobytes() for i in range(len(sub))],
+                            pa.binary()),
+        })
+
+
+def _score_sig_pairs(threshold: float):
+    """Vectorized est-jaccard over joined (sig_a, sig_b) pair rows."""
+    def _fn(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "key_a": pa.array([], b.schema.field("key_a").type),
+            "key_b": pa.array([], b.schema.field("key_b").type),
+            "est_jaccard": pa.array([], pa.float64())})
+        if len(b) == 0:
+            return empty
+        sa = np.stack([np.frombuffer(x, dtype=np.uint64)
+                       for x in b.column("sig_a").to_pylist()])
+        sb = np.stack([np.frombuffer(x, dtype=np.uint64)
+                       for x in b.column("sig_b").to_pylist()])
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        if not keep.any():
+            return empty
+        mask = pa.array(keep)
+        return pa.table({
+            "key_a": b.column("key_a").filter(mask),
+            "key_b": b.column("key_b").filter(mask),
+            "est_jaccard": pa.array(est[keep], pa.float64())})
+    return _fn
 
 
 def minhash_near_duplicates(ds, *, text_col: str = "text",
                             key_col: str = "doc_id", k: int = 64,
                             bands: int = 16, shingle_n: int = 3,
                             threshold: float = 0.7,
+                            max_bucket_size: int = 64,
                             batch_size: int = 8192, concurrency=None):
     """Near-duplicate pairs (key_a, key_b, est_jaccard) with est >= threshold.
 
-    Scale shape: (1) LIGHT band rows (int32, uint64, key) shuffle — no
-    signatures; (2) native count aggregate drops singleton buckets;
-    (3) surviving buckets emit candidate key pairs; (4) signatures are
-    recomputed ONLY for candidate docs (sparse corpus filter, broadcast
-    key->sig lookup) and score est_jaccard.
+    Scale shape — nothing unbounded touches the driver or is pinned:
+
+    1. LIGHT band rows (bkey uint64, key) shuffle — signatures deliberately
+       NOT shipped (at 10^12 docs x 16 bands the 512-byte signature would
+       dominate the shuffle);
+    2. native count aggregate keeps buckets with 2..max_bucket_size members;
+    3. distributed hash-join selects banded rows in hot buckets (the cheap
+       deterministic banding map re-executes instead of materializing);
+    4. surviving buckets emit candidate key pairs, deduped by groupby; the
+       pair set (sparse) is the ONLY thing materialized;
+    5. signatures are recomputed for candidate docs only (broadcast Bloom of
+       candidate keys — false positives waste one signature, never corrupt
+       a result) and joined back onto both pair sides distributedly;
+    6. vectorized signature-agreement scoring filters est >= threshold.
     """
     import ray
 
@@ -222,65 +395,25 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
         _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
-    cand = _hot_bucket_filter(banded, ["band", "band_hash"])
-    pairs = cand.groupby(["band", "band_hash"]).map_groups(
+    cand = _hot_bucket_join(banded, ["band", "band_hash"],
+                            max_bucket_size=max_bucket_size)
+    pairs = cand.groupby("bkey").map_groups(
         _bucket_key_pairs, batch_format="pandas")
-    # a pair can surface from several bands: keep one copy
-    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count()
+    # a pair can surface from several bands: keep one copy; the pair set is
+    # sparse/bounded, so materializing it (to reuse for bloom + joins
+    # without re-running the LSH) is the intended scale behavior
+    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
+        .select_columns(["key_a", "key_b"]).materialize()
 
-    # candidate signatures: sparse corpus filter -> broadcast key->sig
-    cand_keys: set = set()
-    pair_rows = uniq_pairs.select_columns(["key_a", "key_b"]).to_pandas()
-    for a, b in pair_rows.itertuples(index=False):
-        cand_keys.add(a)
-        cand_keys.add(b)
-    keys_ref = ray.put(cand_keys)
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
+    sigs = ds.map_batches(
+        _SigCandidatesBatch(bloom_ref, text_col, key_col, k, shingle_n),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency).materialize()  # sparse: candidate keys only
 
-    def _sig_candidates(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        keys = batch.column(key_col).to_pylist()
-        mask = np.array([v in ks for v in keys], dtype=bool)
-        if not mask.any():
-            return pa.table({"key": pa.array([], batch.schema.field(
-                key_col).type), "sig": pa.array([], pa.binary())})
-        sub = batch.filter(pa.array(mask))
-        sig = minhash_signatures_batch(
-            sub.column(text_col).to_pylist(), k, shingle_n)
-        return pa.table({
-            "key": sub.column(key_col),
-            "sig": pa.array([sig[i].tobytes() for i in range(len(sub))],
-                            pa.binary()),
-        })
-
-    sig_lookup = {}
-    for row in ds.map_batches(_sig_candidates, batch_format="pyarrow",
-                              batch_size=batch_size).iter_rows():
-        sig_lookup[row["key"]] = np.frombuffer(row["sig"], dtype=np.uint64)
-    sig_ref = ray.put(sig_lookup)
-
-    def _score(batch: pa.Table) -> pa.Table:
-        sigs = ray.get(sig_ref)
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        out = {"key_a": [], "key_b": [], "est_jaccard": []}
-        for a, b in zip(ka, kb):
-            sa, sb = sigs.get(a), sigs.get(b)
-            if sa is None or sb is None:
-                continue
-            est = float((sa == sb).mean())
-            if est >= threshold:
-                out["key_a"].append(a)
-                out["key_b"].append(b)
-                out["est_jaccard"].append(est)
-        return pa.table({
-            "key_a": pa.array(out["key_a"],
-                              batch.schema.field("key_a").type),
-            "key_b": pa.array(out["key_b"],
-                              batch.schema.field("key_b").type),
-            "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
-        })
-
-    return uniq_pairs.map_batches(_score, batch_format="pyarrow")
+    joined = _join_pair_payload(uniq_pairs, sigs, "sig")
+    return joined.map_batches(_score_sig_pairs(threshold),
+                              batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -364,8 +497,8 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
     chunked = ds.map_batches(_chunks, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size,
                              concurrency=concurrency)
-    cand = _hot_bucket_filter(chunked, ["chunk", "chunk_val"])
-    pairs = cand.groupby(["chunk", "chunk_val"]).map_groups(
+    cand = _hot_bucket_join(chunked, ["chunk", "chunk_val"])
+    pairs = cand.groupby("bkey").map_groups(
         _pairs, batch_format="pandas")
     from ray.data.aggregate import Min
     agg = pairs.groupby(["key_a", "key_b"]).aggregate(Min("hamming"))
@@ -404,42 +537,51 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
                          threshold: float = 0.6):
     """Exact-jaccard verification of candidate pairs.
 
-    Scale shape: the candidate KEY SET (sparse — near-dup pairs only) is
-    collected and broadcast, the corpus is filtered down to candidate docs
-    (map-only membership test), and only THOSE texts form the broadcast
-    lookup — never the whole corpus.
+    Scale shape: the candidate pair set (sparse — near-dup pairs only) is
+    materialized once; a broadcast Bloom of its keys filters the corpus down
+    to candidate docs map-only (false positives are joined away); candidate
+    texts are then joined onto both pair sides DISTRIBUTEDLY — no driver-side
+    key set or text dict at any size. Pairs whose keys have no corpus row
+    drop out (inner join).
     """
+    import pyarrow.compute as pc
     import ray
 
-    cand_keys: set = set()
-    for row in ds_pairs.select_columns(["key_a", "key_b"]).iter_rows():
-        cand_keys.add(row["key_a"])
-        cand_keys.add(row["key_b"])
-    keys_ref = ray.put(cand_keys)
+    uniq_pairs = ds_pairs.select_columns(["key_a", "key_b"]).materialize()
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
 
-    def _keep_candidates(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        vals = batch.column(key_col).to_pylist()
-        mask = pa.array([v in ks for v in vals])
-        return batch.select([key_col, text_col]).filter(mask)
+    class _KeepCandidates:
+        def __init__(self, ref):
+            self.ref = ref
+            self._bloom = None
 
-    cand_docs = docs_ds.map_batches(_keep_candidates,
-                                    batch_format="pyarrow")
-    lookup = {r[key_col]: r[text_col] for r in cand_docs.iter_rows()}
-    ref = ray.put(lookup)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._bloom is None:
+                self._bloom = ray.get(self.ref) if isinstance(
+                    self.ref, ray.ObjectRef) else self.ref
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            mask = self._bloom.contains(keys)
+            sub = batch.filter(pa.array(mask))
+            return pa.table({"key": sub.column(key_col),
+                             "text": pc.fill_null(
+                                 pc.cast(sub.column(text_col), pa.string()),
+                                 "")})
+
+    cand_docs = docs_ds.map_batches(
+        _KeepCandidates(bloom_ref), batch_format="pyarrow").materialize()
+    joined = _join_pair_payload(uniq_pairs, cand_docs, "text")
 
     def _verify(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-        texts = _ray.get(ref)
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        jac = [ngram_jaccard(texts.get(a, ""), texts.get(b, ""), n)
-               for a, b in zip(ka, kb)]
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        import pyarrow.compute as pc
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        jac = [ngram_jaccard(a, b, n) for a, b in zip(ta, tb)]
+        out = pa.table({
+            "key_a": batch.column("key_a"),
+            "key_b": batch.column("key_b"),
+            "jaccard": pa.array(jac, pa.float64())})
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
-    return ds_pairs.map_batches(_verify, batch_format="pyarrow")
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -491,67 +633,64 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
             "key": pa.concat_arrays([keys] * n_tables),
         })
 
-    def _key_pairs(df):
-        keys = np.unique(df["key"].to_numpy())
-        out = [{"key_a": min(keys[i], keys[j]),
-                "key_b": max(keys[i], keys[j])}
-               for i in range(len(keys)) for j in range(i + 1, len(keys))]
-        return pd.DataFrame(out, columns=["key_a", "key_b"])
-
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size,
                               concurrency=concurrency)
-    cand = _hot_bucket_filter(bucketed, ["table", "bucket"])
-    pairs = cand.groupby(["table", "bucket"]).map_groups(
-        _key_pairs, batch_format="pandas")
-    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count()
+    cand = _hot_bucket_join(bucketed, ["table", "bucket"])
+    pairs = cand.groupby("bkey").map_groups(
+        _bucket_key_pairs, batch_format="pandas")
+    # sparse pair set: the only materialized intermediate (see minhash)
+    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
+        .select_columns(["key_a", "key_b"]).materialize()
 
-    pair_rows = uniq_pairs.select_columns(["key_a", "key_b"]).to_pandas()
-    cand_keys = set(pair_rows["key_a"]) | set(pair_rows["key_b"])
-    keys_ref = ray.put(cand_keys)
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
 
-    def _fetch_vecs(batch: pa.Table) -> pa.Table:
-        from engine.similarity import _batch_matrix, _normalize
-        ks = ray.get(keys_ref)
-        keys = batch.column(key_col).to_pylist()
-        mask = np.array([k in ks for k in keys], dtype=bool)
-        if not mask.any():
-            return pa.table({"key": pa.array([], batch.schema.field(
-                key_col).type), "vec": pa.array([], pa.binary())})
-        sub = batch.filter(pa.array(mask))
-        unit = _normalize(_batch_matrix(sub, vec_col))
+    class _FetchVecs:
+        def __init__(self, ref):
+            self.ref = ref
+            self._bloom = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from engine.similarity import _batch_matrix, _normalize
+            if self._bloom is None:
+                self._bloom = ray.get(self.ref) if isinstance(
+                    self.ref, ray.ObjectRef) else self.ref
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            mask = self._bloom.contains(keys)
+            if not mask.any():
+                return pa.table({"key": pa.array([], batch.schema.field(
+                    key_col).type), "vec": pa.array([], pa.binary())})
+            sub = batch.filter(pa.array(mask))
+            unit = _normalize(_batch_matrix(sub, vec_col))
+            return pa.table({
+                "key": sub.column(key_col),
+                "vec": pa.array([unit[i].astype(np.float64).tobytes()
+                                 for i in range(len(sub))], pa.binary()),
+            })
+
+    vecs = ds.map_batches(_FetchVecs(bloom_ref), batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    joined = _join_pair_payload(uniq_pairs, vecs, "vec")
+
+    def _score(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "key_a": pa.array([], b.schema.field("key_a").type),
+            "key_b": pa.array([], b.schema.field("key_b").type),
+            "cosine": pa.array([], pa.float64())})
+        if len(b) == 0:
+            return empty
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in b.column("vec_a").to_pylist()])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in b.column("vec_b").to_pylist()])
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        mask = pa.array(keep)
         return pa.table({
-            "key": sub.column(key_col),
-            "vec": pa.array([unit[i].tobytes() for i in range(len(sub))],
-                            pa.binary()),
-        })
+            "key_a": b.column("key_a").filter(mask),
+            "key_b": b.column("key_b").filter(mask),
+            "cosine": pa.array(cos[keep], pa.float64())})
 
-    vec_lookup = {}
-    for row in ds.map_batches(_fetch_vecs, batch_format="pyarrow",
-                              batch_size=batch_size).iter_rows():
-        vec_lookup[row["key"]] = np.frombuffer(row["vec"], dtype=np.float64)
-    vec_ref = ray.put(vec_lookup)
-
-    def _score(batch: pa.Table) -> pa.Table:
-        vecs = ray.get(vec_ref)
-        ka = batch.column("key_a").to_pylist()
-        kb = batch.column("key_b").to_pylist()
-        out = {"key_a": [], "key_b": [], "cosine": []}
-        for a, b in zip(ka, kb):
-            va, vb = vecs.get(a), vecs.get(b)
-            if va is None or vb is None:
-                continue
-            cos = float(va @ vb)
-            if cos >= threshold:
-                out["key_a"].append(a)
-                out["key_b"].append(b)
-                out["cosine"].append(cos)
-        return pa.table({
-            "key_a": pa.array(out["key_a"],
-                              batch.schema.field("key_a").type),
-            "key_b": pa.array(out["key_b"],
-                              batch.schema.field("key_b").type),
-            "cosine": pa.array(out["cosine"], pa.float64()),
-        })
-
-    return uniq_pairs.map_batches(_score, batch_format="pyarrow")
+    return joined.map_batches(_score, batch_format="pyarrow")

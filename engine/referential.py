@@ -52,29 +52,45 @@ def build_exact_set(catalog_ds, column: str = "media_ref") -> set:
 
 
 def count_dangling_fk(fact_ds, dim_ds, *, fk: str, pk: str,
-                      batch_size: int = 65536, concurrency=None):
+                      batch_size: int = 65536, concurrency=None,
+                      broadcast_limit: int = 2_000_000):
     """Generic FK check: count of fact rows whose ``fk`` is not a ``pk`` of
-    the dimension table. Broadcast semi-join: the dimension key set ships
-    once via ``ray.put``; each batch emits one partial count."""
+    the dimension table.
+
+    Small dimensions (< ``broadcast_limit`` keys) take the broadcast path:
+    the distinct key array ships ONCE via ``ray.put`` and each batch runs a
+    vectorized ``np.isin`` membership test, emitting one partial count.
+    Larger dimensions are routed automatically to the exact distributed
+    anti-join (``dangling_fk_rows``) — shuffling distinct keys instead of
+    broadcasting an unbounded set to every task.
+    """
     import ray
 
-    keys = set(r[pk] for r in dim_ds.select_columns([pk]).iter_rows())
+    n_dim = dim_ds.count()
+    if n_dim > broadcast_limit:
+        rows = dangling_fk_rows(fact_ds, dim_ds, fk=fk, pk=pk,
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+        total = rows.sum("n_occurrences")
+        return pa.table({"n_dangling": pa.array([int(total or 0)],
+                                                pa.int64())})
+
+    keys_df = dim_ds.select_columns([pk]).to_pandas()
+    keys = np.unique(keys_df[pk].dropna().to_numpy())
     ref = ray.put(keys)
 
     def _partial(batch: pa.Table) -> pa.Table:
         side = ray.get(ref)
-        vals = batch.column(fk).to_pylist()
-        n = sum(1 for v in vals if v is not None and v not in side)
+        vals = batch.column(fk).drop_null().to_numpy(zero_copy_only=False)
+        n = int(len(vals) - np.isin(vals, side).sum())
         return pa.table({"dangling": pa.array([n], pa.int64())})
 
     partials = fact_ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
-    from ray.data.aggregate import Sum
     agg = partials.sum("dangling")  # scalar
 
-    import pyarrow as _pa
-    return _pa.table({"n_dangling": _pa.array([int(agg or 0)], _pa.int64())})
+    return pa.table({"n_dangling": pa.array([int(agg or 0)], pa.int64())})
 
 
 def dangling_fk_rows(fact_ds, dim_ds, *, fk: str, pk: str,

@@ -30,3 +30,22 @@ def balance(ds, blocks: int | None = None):
     """Repartition a (small, pre-aggregated) dataset for the following
     groupby's reduce parallelism."""
     return ds.repartition(blocks if blocks is not None else reduce_blocks())
+
+
+def join_partitions(divisor: int = 2, default_cpus: int = 8) -> int:
+    """Partition count for hash joins (``Dataset.join``).
+
+    Each join partition is backed by a HashShuffleAggregator actor that
+    holds its partition in memory — so the count must track cluster CPUs,
+    NOT the upstream block count. Over-provisioning aggregators on one node
+    over-reserves object-store memory and can deadlock the pipeline
+    (observed: two chained 64-partition joins hang on a 32-CPU box, the
+    same joins at 8-16 partitions finish in seconds).
+    """
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", default_cpus)) \
+            if ray.is_initialized() else default_cpus
+    except Exception:  # pragma: no cover
+        cpus = default_cpus
+    return max(4, cpus // divisor)

@@ -123,8 +123,14 @@ def cosine_topk(ds, queries: np.ndarray, *, vec_col: str = "embedding",
 def train_codebook(ds, *, vec_col: str = "embedding", n_cells: int = 16,
                    sample_rows: int = 4096, iters: int = 8,
                    seed: int = 5) -> np.ndarray:
-    """k-means-lite on a driver-side sample -> (n_cells, dim) unit centroids."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """k-means-lite on a driver-side sample -> (n_cells, dim) unit centroids.
+
+    The sample is a uniform reservoir over the whole dataset (not first-N
+    rows, which would bias the codebook toward the first blocks' cluster
+    structure)."""
+    from engine.sampling import reservoir_sample
+    sample = reservoir_sample(ds.select_columns([vec_col]),
+                              sample_rows).to_pandas()
     mat = _normalize(np.stack(
         [np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     rng = np.random.default_rng(seed)
