@@ -163,3 +163,69 @@ class TestMultiSchema:
             assert sorted(map(tuple, sub[key].values)) == \
                 sorted(map(tuple, single[key].values))
         assert len(multi) > 0
+
+
+class TestFastJsonColumnValidator:
+    """The flat-schema fast path must be bit-identical to the row-wise
+    oracle path on every input, including rows it routes to the fallback."""
+
+    SCHEMA = ('{"type":"object","required":["k","s"],'
+              '"properties":{'
+              '"k":{"type":"integer","minimum":0,"maximum":50},'
+              '"s":{"type":"string","minLength":1,"maxLength":5,'
+              '"pattern":"^[a-z]+$"},'
+              '"e":{"enum":["x","y",3]},'
+              '"c":{"const":7},'
+              '"f":{"type":"number","minimum":-1.5},'
+              '"b":{"type":"boolean"},'
+              '"nested":{"type":"object","required":["q"]}},'
+              '"additionalProperties":false}')
+
+    def _rows(self):
+        import json as _json
+        import random
+        rng = random.Random(99)
+        rows = []
+        pool = [0, -3, 51, 7, 2.5, True, False, None, "ab", "ABC", "",
+                "abcdef", [1, 2], {"q": 1}, {}, 9999999999999999999999]
+        for i in range(400):
+            inst = {}
+            for name in ("k", "s", "e", "c", "f", "b", "nested", "zz"):
+                if rng.random() < 0.7:
+                    inst[name] = rng.choice(pool)
+            rows.append(_json.dumps(inst))
+        rows += [None, "not json{", "[]", '"str"', "3", "3.5", "true",
+                 "null", '{"k": 1.0}', '{"k": true}',
+                 '{"k": 0, "s": "ok"}']
+        return rows
+
+    def test_differential_vs_oracle(self, ray_session):
+        import ray.data
+        from engine.dataset import validate_json_column
+        rows = self._rows()
+        t = pa.table({"event_id": pa.array(range(len(rows)), pa.int64()),
+                      "props": pa.array(rows, pa.string())})
+        ds = ray.data.from_arrow(t)
+        fast = validate_json_column(
+            ds, self.SCHEMA, engine="auto").to_pandas()
+        slow = validate_json_column(
+            ds, self.SCHEMA, engine="oracle").to_pandas()
+        cols = ["event_id", "error_seq", "error_kind", "instance_path",
+                "message"]
+        fast = fast[cols].sort_values(cols).reset_index(drop=True)
+        slow = slow[cols].sort_values(cols).reset_index(drop=True)
+        assert fast.equals(slow), (
+            fast.compare(slow) if len(fast) == len(slow)
+            else f"{len(fast)} vs {len(slow)} rows")
+
+    def test_fast_path_taken_for_flat_schema(self):
+        from engine.dataset import FastJsonColumnValidator
+        v = FastJsonColumnValidator(self.SCHEMA, "props", "event_id")
+        assert v._flat.ok
+        assert v._flat.deep_props == {"nested"}
+
+    def test_root_combinator_falls_back(self):
+        from engine.dataset import FastJsonColumnValidator
+        v = FastJsonColumnValidator(
+            '{"anyOf":[{"type":"object"}]}', "props", "event_id")
+        assert not v._flat.ok
