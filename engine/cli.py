@@ -140,13 +140,20 @@ def cmd_compile(args) -> int:
               file=sys.stderr)
         return 1
 
-    assign, canonical = dedupe_schemas([s for _, s in schemas])
+    from engine.sanitizers import struct_name_from
+    mode = args.cgs_dedupe_mode
+    name_source = args.cgs_model_name_source
+    assign, canonical = dedupe_schemas([s for _, s in schemas], mode)
     os.makedirs(args.out, exist_ok=True)
     shared = []
     for ci, cs in enumerate(canonical):
-        shared.append({"shape_id": ci, "structural_key": structural_key(cs)})
+        shared.append({
+            "shape_id": ci,
+            "structural_key": (structural_key(cs, mode)
+                               if mode != "disabled" else None)})
     with open(os.path.join(args.out, "shared.json"), "w") as f:
-        json.dump({"shapes": shared}, f, indent=1)
+        json.dump({"shapes": shared, "dedupe_mode": mode,
+                   "model_name_source": name_source}, f, indent=1)
     for (rel, schema), shape_id in zip(schemas, assign):
         try:
             resolved = resolve_all_of(schema)
@@ -157,8 +164,15 @@ def cmd_compile(args) -> int:
             print(f"{rel}: {e}", file=sys.stderr)
         out_path = os.path.join(args.out, rel)
         os.makedirs(os.path.dirname(out_path) or args.out, exist_ok=True)
+        models = {"": struct_name_from(schema.title, None, is_root=True,
+                                       name_source=name_source)}
+        for key, sub in schema.sorted_properties():
+            if sub.type == "object" or sub.properties:
+                models[key] = struct_name_from(sub.title, key,
+                                               name_source=name_source)
         summary = {
             "shape_id": shape_id,
+            "models": models,
             "target_arrow_schema": (
                 [{"name": fld.name, "type": str(fld.type),
                   "nullable": fld.nullable} for fld in target]
@@ -219,7 +233,20 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+",
                    help="schema files, directories, or '-'")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("--strict", action="store_true")
+    p.add_argument("--strict", "--jss-disallow-unknown-fields",
+                   action="store_true", dest="strict",
+                   help="JSON Schema Settings: reject schema definitions "
+                        "with unknown keys (cli/mod.rs:38-43)")
+    p.add_argument("--cgs-dedupe-mode",
+                   choices=["disabled", "functional", "full"],
+                   default="full",
+                   help="Codegen Settings: dedupe identical object schemas "
+                        "(default: full; cli/mod.rs:52-57)")
+    p.add_argument("--cgs-model-name-source",
+                   choices=["title-first", "property-key"],
+                   default="title-first",
+                   help="Codegen Settings: primary source for model names "
+                        "(default: title-first; cli/mod.rs:45-51)")
     p.set_defaults(fn=cmd_compile)
 
     p = sub.add_parser("stats", help="per-column stats")

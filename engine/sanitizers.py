@@ -188,3 +188,20 @@ def sanitize_module_name(s: str) -> str:
 def module_name_from_path(path: str) -> str:
     stem = os.path.splitext(os.path.basename(path))[0] or "schema"
     return sanitize_module_name(stem)
+
+
+def struct_name_from(title, from_key, *, is_root: bool = False,
+                     name_source: str = "title-first") -> str:
+    """Model name per CodeGenSettings.model_name_source
+    (``rust_backend.rs:611-637``): title-first prefers a non-blank trimmed
+    ``title``, property-key prefers the property key; fallback is the other
+    source, then ``"Root"`` for the root schema / ``"Unnamed"`` otherwise."""
+    title_trimmed = title.strip() if title is not None and title.strip() \
+        else None
+    first, second = ((title_trimmed, from_key)
+                     if name_source == "title-first"
+                     else (from_key, title_trimmed))
+    pick = first if first is not None else second
+    if pick is not None:
+        return sanitize_struct_name(pick)
+    return "Root" if is_root else "Unnamed"

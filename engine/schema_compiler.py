@@ -266,12 +266,30 @@ def target_arrow_schema(schema: Schema) -> pa.Schema:
 # structural dedupe (C5)
 
 
-def structural_key(schema: Schema) -> str:
-    """Canonical structural fingerprint — the reference DedupeKey's field
-    set in Functional mode (``rust_backend.rs:210-231``): $id/description/
-    $comment/examples excluded; title, deprecated, default and the
-    structural keywords included; numeric bounds / enum / const are NOT
-    part of the reference key and are excluded here too."""
+#: DedupeMode values (``code_gen/settings.rs:14-25``). The reference
+#: default is Full.
+DEDUPE_DISABLED = "disabled"
+DEDUPE_FUNCTIONAL = "functional"
+DEDUPE_FULL = "full"
+
+#: ModelNameSource values (``code_gen/settings.rs:5-12``). The reference
+#: default is title-first.
+NAME_TITLE_FIRST = "title-first"
+NAME_PROPERTY_KEY = "property-key"
+
+
+def structural_key(schema: Schema, mode: str = DEDUPE_FULL) -> str:
+    """Canonical structural fingerprint — the reference DedupeKey
+    (``rust_backend.rs:210-231``). Functional mode considers only pivotal
+    data (type/properties/required/title, constraints) and excludes the
+    non-functional fields $id / description / $comment / examples; Full
+    mode (the reference default) includes them. Numeric bounds / enum /
+    const are NOT part of the reference key in either mode and are
+    excluded here too."""
+    if mode == DEDUPE_DISABLED:
+        raise ValueError("structural_key is undefined for DedupeMode "
+                         "Disabled (no deduping occurs)")
+
     def enc(s: Schema) -> dict:
         d: dict[str, Any] = {}
         if s.type is not None:
@@ -288,7 +306,7 @@ def structural_key(schema: Schema) -> str:
             d["required"] = list(s.required)
         if s.items is not None:
             d["items"] = enc(s.items)
-        for name in ("title", "deprecated", "unique_items", "min_items",
+        for name in ("title", "unique_items", "min_items",
                      "max_items", "min_length", "max_length", "pattern",
                      "format"):
             v = getattr(s, name)
@@ -296,19 +314,32 @@ def structural_key(schema: Schema) -> str:
                 d[name] = v
         if s.default is not UNSET:
             d["default"] = s.default
+        if mode == DEDUPE_FULL:
+            # Full-only fields per rust_backend.rs:574-596: id, description,
+            # comment, deprecated, examples
+            for name in ("id", "description", "comment", "deprecated",
+                         "examples"):
+                v = getattr(s, name)
+                if v is not None:
+                    d[f"_{name}"] = v
         return d
 
     return canonical_json(enc(schema))
 
 
-def dedupe_schemas(schemas: list[Schema]) -> tuple[list[int], list[Schema]]:
-    """Structural dedupe: returns (assignment per input, canonical list);
-    canonical = first occurrence (deterministic)."""
+def dedupe_schemas(schemas: list[Schema],
+                   mode: str = DEDUPE_FULL) -> tuple[list[int], list[Schema]]:
+    """Structural dedupe per DedupeMode: returns (assignment per input,
+    canonical list); canonical = first occurrence (deterministic).
+    ``disabled`` never merges (identity assignment, reference
+    ``DedupeMode::Disabled``)."""
+    if mode == DEDUPE_DISABLED:
+        return list(range(len(schemas))), list(schemas)
     seen: dict[str, int] = {}
     canonical: list[Schema] = []
     assign: list[int] = []
     for s in schemas:
-        key = structural_key(s)
+        key = structural_key(s, mode)
         if key not in seen:
             seen[key] = len(canonical)
             canonical.append(s)
@@ -374,8 +405,28 @@ def arrow_type_to_json_schema(t: pa.DataType) -> dict:
     return {"type": "string"}
 
 
+def _metadata_docs(md: Optional[dict]) -> dict:
+    """Arrow metadata -> title/description fragment keys, the engine analog
+    of the reference deriving ``title`` from ``#[json_schema(title=...)]``
+    and ``description`` from ``///`` doc comments
+    (``derive.rs:98-151``, ``:152-188``, ``:219-234``)."""
+    out: dict[str, Any] = {}
+    if not md:
+        return out
+    for key, target in ((b"title", "title"),
+                        (b"description", "description")):
+        v = md.get(key)
+        if v is not None:
+            out[target] = v.decode("utf-8")
+    return out
+
+
 def arrow_schema_to_json_schema(schema: pa.Schema) -> dict:
-    props = {f.name: arrow_type_to_json_schema(f.type) for f in schema}
+    props = {}
+    for f in schema:
+        frag = arrow_type_to_json_schema(f.type)
+        frag.update(_metadata_docs(f.metadata))
+        props[f.name] = frag
     req = [f.name for f in schema if not f.nullable]
     out: dict[str, Any] = {
         "$schema": "https://json-schema.org/draft/2020-12/schema",
@@ -383,4 +434,5 @@ def arrow_schema_to_json_schema(schema: pa.Schema) -> dict:
     }
     if req:
         out["required"] = req
+    out.update(_metadata_docs(schema.metadata))
     return out

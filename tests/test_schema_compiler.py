@@ -1,6 +1,8 @@
 """Schema-compiler operator tests, ported from the reference's rust_backend
 semantics (``rust_backend.rs:641-919``, ``:203-305``)."""
 
+import json
+
 import pyarrow as pa
 import pytest
 
@@ -132,12 +134,17 @@ class TestDedupe:
         b = s('{"type":"object","properties":{"x":{"type":"string"}},'
               '"title":"B"}')
         c = s('{"type":"object","properties":{"x":{"type":"integer"}}}')
-        assign, canonical = dedupe_schemas([a, a2, b, c])
+        from engine.schema_compiler import DEDUPE_FUNCTIONAL as FUNC
+        assign, canonical = dedupe_schemas([a, a2, b, c], FUNC)
         assert assign == [0, 0, 1, 2]  # description/$id ignored, title kept
         assert len(canonical) == 3
-        assert structural_key(a) == structural_key(a2)
-        assert structural_key(a) != structural_key(b)
-        assert structural_key(a) != structural_key(c)
+        assert structural_key(a, FUNC) == structural_key(a2, FUNC)
+        assert structural_key(a, FUNC) != structural_key(b, FUNC)
+        assert structural_key(a, FUNC) != structural_key(c, FUNC)
+        # reference DEFAULT mode is Full (settings.rs:23-25): $id /
+        # description differences now separate a and a2
+        assign_full, _ = dedupe_schemas([a, a2, b, c])
+        assert assign_full == [0, 1, 2, 3]
 
 
 class TestBatchCompile:
@@ -171,3 +178,143 @@ class TestReverse:
         assert validate(sch, {"id": 1, "name": "x", "vals": [0.5],
                               "meta": {"k": 3}}) == []
         assert validate(sch, {"name": "x"}) != []  # id required
+
+
+class TestCodeGenSettings:
+    """DedupeMode / ModelNameSource parity (code_gen/settings.rs:5-33;
+    mode-matrix mirrors rust_backend.rs dedupe tests at 4218-4280)."""
+
+    A = '{"type":"object","title":"T","properties":{"a":{"type":"integer"}},"description":"first"}'
+    B = '{"type":"object","title":"T","properties":{"a":{"type":"integer"}},"description":"second"}'
+    C = '{"type":"object","title":"T","properties":{"a":{"type":"integer"}},"description":"first"}'
+
+    def _schemas(self):
+        from engine.schema import parse_schema
+        return [parse_schema(self.A), parse_schema(self.B),
+                parse_schema(self.C)]
+
+    def test_functional_merges_across_descriptions(self):
+        from engine.schema_compiler import DEDUPE_FUNCTIONAL, dedupe_schemas
+        assign, canonical = dedupe_schemas(self._schemas(),
+                                           DEDUPE_FUNCTIONAL)
+        assert assign == [0, 0, 0]
+        assert len(canonical) == 1
+
+    def test_full_separates_by_description(self):
+        from engine.schema_compiler import DEDUPE_FULL, dedupe_schemas
+        assign, canonical = dedupe_schemas(self._schemas(), DEDUPE_FULL)
+        assert assign == [0, 1, 0]
+        assert len(canonical) == 2
+
+    def test_disabled_never_merges(self):
+        from engine.schema_compiler import DEDUPE_DISABLED, dedupe_schemas
+        assign, canonical = dedupe_schemas(self._schemas(), DEDUPE_DISABLED)
+        assert assign == [0, 1, 2]
+        assert len(canonical) == 3
+
+    def test_full_separates_by_deprecated_and_comment(self):
+        from engine.schema import parse_schema
+        from engine.schema_compiler import (DEDUPE_FULL, DEDUPE_FUNCTIONAL,
+                                            structural_key)
+        base = parse_schema('{"type":"object"}')
+        dep = parse_schema('{"type":"object","deprecated":true}')
+        com = parse_schema('{"type":"object","$comment":"c"}')
+        assert structural_key(base, DEDUPE_FULL) != \
+            structural_key(dep, DEDUPE_FULL)
+        assert structural_key(base, DEDUPE_FULL) != \
+            structural_key(com, DEDUPE_FULL)
+        assert structural_key(base, DEDUPE_FUNCTIONAL) == \
+            structural_key(dep, DEDUPE_FUNCTIONAL)
+        assert structural_key(base, DEDUPE_FUNCTIONAL) == \
+            structural_key(com, DEDUPE_FUNCTIONAL)
+
+    def test_title_stays_functional(self):
+        from engine.schema import parse_schema
+        from engine.schema_compiler import DEDUPE_FUNCTIONAL, structural_key
+        a = parse_schema('{"type":"object","title":"X"}')
+        b = parse_schema('{"type":"object","title":"Y"}')
+        assert structural_key(a, DEDUPE_FUNCTIONAL) != \
+            structural_key(b, DEDUPE_FUNCTIONAL)
+
+    def test_structural_key_rejects_disabled(self):
+        import pytest
+        from engine.schema import parse_schema
+        from engine.schema_compiler import DEDUPE_DISABLED, structural_key
+        with pytest.raises(ValueError):
+            structural_key(parse_schema('{"type":"object"}'),
+                           DEDUPE_DISABLED)
+
+
+class TestModelNameSource:
+    """struct_name_from parity (rust_backend.rs:611-637)."""
+
+    def test_title_first(self):
+        from engine.sanitizers import struct_name_from
+        assert struct_name_from("My Title", "prop_key") == "MyTitle"
+        assert struct_name_from(None, "prop_key") == "PropKey"
+        assert struct_name_from("  ", "prop_key") == "PropKey"
+
+    def test_property_key_first(self):
+        from engine.sanitizers import struct_name_from
+        assert struct_name_from("My Title", "prop_key",
+                                name_source="property-key") == "PropKey"
+        assert struct_name_from("My Title", None,
+                                name_source="property-key") == "MyTitle"
+
+    def test_root_and_unnamed_fallbacks(self):
+        from engine.sanitizers import struct_name_from
+        assert struct_name_from(None, None, is_root=True) == "Root"
+        assert struct_name_from(None, None) == "Unnamed"
+        assert struct_name_from("", None, is_root=True) == "Root"
+
+
+class TestReverseCodegenDepth:
+    """C10 depth: integer widths -> bounds, metadata -> title/description,
+    and bounds round-trip through narrow_numeric_type (derive.rs:284+)."""
+
+    def test_int_width_bounds_round_trip(self):
+        import pyarrow as pa
+        from engine.schema import parse_schema
+        from engine.schema_compiler import (arrow_type_to_json_schema,
+                                            narrow_numeric_type)
+        for t in (pa.int8(), pa.int16(), pa.int32(), pa.uint8(),
+                  pa.uint16(), pa.uint32()):
+            frag = arrow_type_to_json_schema(t)
+            assert frag["type"] == "integer"
+            assert "minimum" in frag and "maximum" in frag
+            # identity round-trip through the forward narrowing
+            back = narrow_numeric_type(parse_schema(json.dumps(frag)))
+            assert back == t, f"{t} -> {frag} -> {back}"
+
+    def test_int64_round_trips_and_uint64_degrades_to_i64_gate(self):
+        import pyarrow as pa
+        from engine.schema import parse_schema
+        from engine.schema_compiler import (arrow_type_to_json_schema,
+                                            narrow_numeric_type)
+        frag = arrow_type_to_json_schema(pa.int64())
+        assert narrow_numeric_type(parse_schema(json.dumps(frag))) \
+            == pa.int64()
+        # uint64 bounds exceed the reference's i64 narrowing gate
+        # (rust_backend.rs I64_MAX_AS_F64), so the forward pass falls back
+        frag = arrow_type_to_json_schema(pa.uint64())
+        assert frag["maximum"] == 2**64 - 1
+        assert narrow_numeric_type(parse_schema(json.dumps(frag))) \
+            == pa.int64()
+
+    def test_metadata_to_title_description(self):
+        import pyarrow as pa
+        from engine.schema_compiler import arrow_schema_to_json_schema
+        sch = pa.schema(
+            [pa.field("a", pa.int32(), nullable=False,
+                      metadata={b"title": b"FieldA",
+                                b"description": b"the a field"}),
+             pa.field("b", pa.string())],
+            metadata={b"title": b"RootModel",
+                      b"description": b"root docs"})
+        out = arrow_schema_to_json_schema(sch)
+        assert out["title"] == "RootModel"
+        assert out["description"] == "root docs"
+        assert out["properties"]["a"]["title"] == "FieldA"
+        assert out["properties"]["a"]["description"] == "the a field"
+        assert "title" not in out["properties"]["b"]
+        assert out["required"] == ["a"]
