@@ -5,12 +5,22 @@ semantics (``re.find``, not anchored) and recompiles per string instance
 (``validator/mod.rs:259-277``). We compile once per plan (fixing the perf bug
 without changing observable behavior) and triage each pattern at compile time:
 
-* ``translate_ecma``: ECMA -> Python ``re`` pattern. The one systematic
-  divergence handled: ECMA ``$`` (non-multiline) matches only at end-of-input,
-  while Python ``$`` also matches before a trailing newline — so unescaped
-  ``$`` outside character classes becomes ``\\Z``. Remaining known corners
-  (ECMA ``\\d``/``\\w`` are ASCII-only, Python's are Unicode-aware) are
-  documented in DESIGN.md; fixture patterns avoid them.
+* ``translate_ecma``: ECMA -> Python ``re`` pattern. Systematic divergences
+  handled (ECMA 262 non-unicode-flag semantics, the mode ``regress`` uses
+  for ``pattern``):
+
+  - ``$`` (non-multiline) matches only at end-of-input -> ``\\Z``
+  - ``\\d``/``\\D`` are ASCII ``[0-9]`` -> explicit class
+  - ``\\w``/``\\W`` are ASCII ``[A-Za-z0-9_]`` -> explicit class
+  - ``\\s``/``\\S`` is ECMA WhiteSpace+LineTerminator (includes U+FEFF,
+    excludes Python's ``\\x1c-\\x1f``/``\\x85``) -> explicit class
+  - ``\\b``/``\\B`` use the ASCII word-char set -> lookaround pairs
+  - ``.`` excludes all ECMA LineTerminators (U+2028/U+2029 included) ->
+    explicit negated class
+  - ``(?<name>...)`` named groups -> ``(?P<name>...)``
+
+  Remaining corners (``\\cX`` control escapes, Annex-B octal escapes)
+  compile to ``None`` and fall back to the per-row oracle path.
 * ``re2_safe``: conservative whitelist for zero-copy evaluation with
   ``pyarrow.compute.match_substring_regex`` (RE2). Patterns outside the
   whitelist use the compiled Python regex in a per-batch kernel instead.
@@ -28,16 +38,58 @@ from typing import Optional
 _SAFE_ESCAPES = set(".\\+*?()[]{}|^$/-tnr0fvu")  # escaped literals / anchors
 
 
+#: ECMA word characters (ASCII; ECMA 262 `WordCharacters` without the u flag)
+_WORD = "A-Za-z0-9_"
+#: ECMA WhiteSpace + LineTerminator set (what `\s` matches): TAB VT FF SP NBSP
+#: ZWNBSP(U+FEFF) USP(Zs) + LF CR LS PS. Differs from Python's `\s`, which
+#: adds \x1c-\x1f and \x85 and lacks ﻿.
+_SPACE = ("\\t\\n\\x0b\\f\\r \\u00a0\\u1680\\u2000-\\u200a"
+          "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff")
+#: ECMA `.`: any character except LineTerminator (LF CR LS PS)
+_DOT = "[^\\n\\r\\u2028\\u2029]"
+#: `\b` / `\B` with the ASCII word-char set, via lookaround pairs
+_WORD_BOUNDARY = (f"(?:(?<![{_WORD}])(?=[{_WORD}])"
+                  f"|(?<=[{_WORD}])(?![{_WORD}]))")
+_NON_WORD_BOUNDARY = (f"(?:(?<=[{_WORD}])(?=[{_WORD}])"
+                      f"|(?<![{_WORD}])(?![{_WORD}]))")
+
+_CLASS_EXPANSIONS = {  # inside [...]: bare ranges, no brackets
+    "d": "0-9", "D": None,  # \D inside a class has no bare-range expansion
+    "w": _WORD, "W": None,
+    "s": _SPACE, "S": None,
+}
+_TOP_EXPANSIONS = {
+    "d": "[0-9]", "D": "[^0-9]",
+    "w": f"[{_WORD}]", "W": f"[^{_WORD}]",
+    "s": f"[{_SPACE}]", "S": f"[^{_SPACE}]",
+    "b": _WORD_BOUNDARY, "B": _NON_WORD_BOUNDARY,
+}
+
+
 def translate_ecma(pattern: str) -> str:
-    """Rewrite an ECMA pattern for Python ``re``: unescaped ``$`` outside a
-    character class -> ``\\Z`` (ECMA end-of-input semantics)."""
+    """Rewrite an ECMA pattern for Python ``re`` (see module docstring for
+    the divergence list). Output is a Python pattern with identical match
+    semantics for the supported ECMA subset."""
     out = []
     in_class = False
     i, n = 0, len(pattern)
     while i < n:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
-            out.append(pattern[i:i + 2])
+            esc = pattern[i + 1]
+            if in_class:
+                exp = _CLASS_EXPANSIONS.get(esc, "")
+                if exp:  # \d \w \s -> bare ranges inside the class
+                    out.append(exp)
+                else:
+                    # \D \W \S inside a class have no bare-range expansion
+                    # (a union with a complement is not a single class);
+                    # they keep Python's Unicode semantics — divergence only
+                    # for non-ASCII input on this rare shape. All other
+                    # escapes pass through unchanged.
+                    out.append(pattern[i:i + 2])
+            else:
+                out.append(_TOP_EXPANSIONS.get(esc) or pattern[i:i + 2])
             i += 2
             continue
         if in_class:
@@ -49,6 +101,13 @@ def translate_ecma(pattern: str) -> str:
             out.append(c)
         elif c == "$":
             out.append(r"\Z")
+        elif c == ".":
+            out.append(_DOT)
+        elif c == "(" and pattern.startswith("(?<", i) \
+                and i + 3 < n and pattern[i + 3] not in "=!":
+            out.append("(?P<")
+            i += 3
+            continue
         else:
             out.append(c)
         i += 1

@@ -24,33 +24,47 @@ from engine.sketches import hash64
 
 
 class _KeyCountBatch:
-    def __init__(self, key: str, salt_buckets: int):
+    def __init__(self, key: str, salt_buckets: int, hot_threshold: int):
         self.key = key
         self.salt = salt_buckets
+        self.hot_threshold = hot_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
         keys = batch.column(self.key).to_numpy(zero_copy_only=False)
         uniq, counts = np.unique(keys, return_counts=True)
-        # per-batch nonce: the SAME key must land in DIFFERENT salt lanes
-        # across batches, otherwise a hot key still collapses into one
-        # reduce group; lane choice never affects the final counts
-        nonce = np.frombuffer(os.urandom(8), dtype=np.uint64)[0]
-        salt = (hash64(uniq, seed=7) ^ nonce) % np.uint64(self.salt)
+        # ADAPTIVE salting: only keys that look hot inside this batch
+        # (per-batch count >= hot_threshold) scatter across salt lanes; a
+        # uniform key stays in lane 0, so the salted->final shuffle carries
+        # ONE row per cold key instead of one per touched lane. The skewed
+        # key the salting exists for (~0.1N duplicates) is hot in every
+        # batch by construction. Lane choice never affects final counts.
+        salt = np.zeros(len(uniq), dtype=np.int32)
+        hot = counts >= self.hot_threshold
+        if hot.any():
+            # per-batch nonce: the SAME hot key must land in DIFFERENT
+            # lanes across batches, otherwise it still collapses into one
+            # reduce group
+            nonce = np.frombuffer(os.urandom(8), dtype=np.uint64)[0]
+            salt[hot] = ((hash64(uniq[hot], seed=7) ^ nonce)
+                         % np.uint64(self.salt)).astype(np.int32)
         return pa.table({
             "key": pa.array(uniq.tolist()),
-            "salt": pa.array(salt.astype(np.int32)),
+            "salt": pa.array(salt),
             "partial": pa.array(counts.astype(np.int64)),
         })
 
 
 def duplicate_keys(ds, key: str = "doc_id", *, salt_buckets: int = 16,
+                   hot_threshold: int = 2,
                    batch_size: int = 65536, concurrency=None):
     """Keys occurring more than once: Dataset of (key, dup_count)."""
-    from engine.shuffle import balance
+    from engine.shuffle import balance, reduce_blocks
     partials = balance(ds.map_batches(
-        _KeyCountBatch(key, salt_buckets), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency))
+        _KeyCountBatch(key, salt_buckets, hot_threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency),
+        reduce_blocks(1))
     salted = partials.groupby(["key", "salt"]).sum("partial")
     totals = salted.groupby("key").sum("sum(partial)")
 

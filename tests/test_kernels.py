@@ -294,3 +294,68 @@ class TestRandomizedParity:
                               pa.int64()),
         })
         assert_parity(schema, t)
+
+
+class TestEcmaTranslation:
+    """ECMA-vs-Python divergences the translator must fix
+    (validator/mod.rs:259-277 regress semantics, non-unicode-flag mode)."""
+
+    def _m(self, pattern, s):
+        from engine.ecma import compile_ecma
+        rx = compile_ecma(pattern)
+        assert rx is not None, pattern
+        return rx.search(s) is not None
+
+    def test_digit_is_ascii(self):
+        assert self._m(r"^\d$", "7")
+        assert not self._m(r"^\d$", "٣")  # ARABIC-INDIC DIGIT THREE
+        assert self._m(r"^\D$", "٣")
+
+    def test_word_is_ascii(self):
+        assert self._m(r"^\w+$", "ab_9")
+        assert not self._m(r"^\w$", "é")
+        assert self._m(r"^\W$", "é")
+
+    def test_space_is_ecma_set(self):
+        assert self._m(r"^\s$", " ")
+        assert self._m(r"^\s$", "﻿")   # ECMA includes BOM; Python not
+        assert not self._m(r"^\s$", "\x1c")  # Python \s includes FS; ECMA not
+        assert self._m(r"^\S$", "\x1c")
+
+    def test_word_boundary_ascii(self):
+        # é is a non-word char in ECMA, so a boundary precedes x
+        assert self._m(r"\bx", "éx")
+        assert not self._m(r"\bx", "ax")
+        assert self._m(r"a\B", "ab")  # a-b: word/word => \B holds
+
+    def test_dot_excludes_ecma_line_terminators(self):
+        assert self._m("^a.b$", "a b")
+        assert not self._m("^a.b$", "a b")
+        assert not self._m("^a.b$", "a\nb")
+
+    def test_dollar_end_of_input_only(self):
+        assert self._m("^abc$", "abc")
+        assert not self._m("^abc$", "abc\n")
+
+    def test_class_expansions(self):
+        assert self._m(r"^[\d]$", "5")
+        assert not self._m(r"^[\d]$", "٣")
+        assert self._m(r"^[\w-]+$", "a-b_c9")
+        assert not self._m(r"^[\w]$", "é")
+        assert self._m(r"^[\s]$", "﻿")
+
+    def test_named_group_translates(self):
+        from engine.ecma import compile_ecma
+        rx = compile_ecma(r"(?<year>[0-9]{4})-(?<month>[0-9]{2})")
+        m = rx.search("2024-07")
+        assert m.group("year") == "2024" and m.group("month") == "07"
+
+    def test_lookbehind_untouched(self):
+        assert self._m(r"(?<=a)b", "ab")
+        assert not self._m(r"(?<=a)b", "cb")
+        assert self._m(r"(?<!a)b", "cb")
+
+    def test_invalid_pattern_still_none(self):
+        from engine.ecma import compile_ecma
+        assert compile_ecma("[") is None
+        assert compile_ecma("(") is None

@@ -97,7 +97,7 @@ def test_salt_scatters_hot_key_across_batches(ray_session):
     import ray.data
     from engine.uniqueness import _KeyCountBatch
     import pyarrow as pa
-    stage = _KeyCountBatch("k", 16)
+    stage = _KeyCountBatch("k", 16, 2)
     b = pa.table({"k": pa.array(["hot"] * 100)})
     salts = {stage(b).column("salt")[0].as_py() for _ in range(24)}
     assert len(salts) > 1  # same key, same batch size -> different lanes
