@@ -15,6 +15,8 @@ from engine.schema import (Schema, SchemaParseError, parse_schema,
                            parse_schema_path, schema_to_dict)
 from engine.oracle import validate as oracle_validate
 from engine.errors import render_message
+from engine.registry import (CheckSpec, register_check, registered_keywords,
+                             unregister_check)
 
 __all__ = [
     "Schema",
@@ -24,6 +26,10 @@ __all__ = [
     "SchemaParseError",
     "oracle_validate",
     "render_message",
+    "CheckSpec",
+    "register_check",
+    "unregister_check",
+    "registered_keywords",
     # heavier entry points are imported from their modules to keep
     # `import engine` light: engine.compile.compile_plan,
     # engine.kernels.validate_batch, engine.dataset.validate_dataset,

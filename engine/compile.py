@@ -63,6 +63,9 @@ class Plan:
     # row is measurable in the hot path)
     enum_allowed_display: Optional[list[str]] = None
     const_display: Optional[str] = None
+    #: registry-registered custom checks: [(CheckSpec, state)] applicable to
+    #: this node's type arm, lexicographic keyword order (engine/registry.py)
+    custom: list = field(default_factory=list)
 
 
 def compile_plan(schema: Schema, root: Optional[Schema] = None) -> Plan:
@@ -129,4 +132,7 @@ def _compile(node: Schema, root: Schema, memo: dict[int, Plan]) -> Plan:
     p.maximum = s.maximum
     from engine import config
     p.format_uuid = bool(config.UUID_FORMAT and s.format == "uuid")
+    if s.custom:
+        from engine.registry import checks_for
+        p.custom = checks_for(s.custom, s.type)
     return p

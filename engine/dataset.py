@@ -311,7 +311,7 @@ class _FlatPlan:
             schema.ref is None and schema.const is UNSET
             and not schema.enum and schema.any_of is None
             and schema.one_of is None and not schema.all_of
-            and schema.type == "object"
+            and schema.type == "object" and not schema.custom
             and (schema.additional_properties in (None, AP_ALLOW, AP_FORBID)))
         if not self.ok:
             return
@@ -326,7 +326,7 @@ class _FlatPlan:
                 or sub.one_of is not None or bool(sub.all_of)
                 or sub.type in ("object", "array")
                 or (sub.type is None and (sub.properties or sub.required))
-                or sub.format == "uuid")
+                or sub.format == "uuid" or bool(sub.custom))
             if deep:
                 self.deep_props.add(key)
                 continue

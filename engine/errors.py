@@ -177,6 +177,8 @@ def render_message(err: dict) -> str:
     """One-line Display string for an error dict (``error.rs:241-398``)."""
     location = display_root_or_path(err["path"])
     k = err["kind"]
+    if "custom_message" in err:  # registry-registered check (engine/registry.py)
+        return f"{location}: {err['custom_message']}"
     if k == INVALID_REF:
         return f'{location}: could not resolve $ref "{err["ref_str"]}": {err["reason"]}'
     if k == EXPECTED_OBJECT:

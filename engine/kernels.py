@@ -643,6 +643,7 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
                 arr2 = val.to_numpy(zero_copy_only=False)
                 em.emit(ctx, k, fail, E.INVALID_UUID_FORMAT,
                         ctx_fn=lambda i: {"value": arr2[i]})
+        _emit_custom(plan, ctx, em, s_ok, val)
     elif ty in ("integer", "number"):
         if ty == "integer":
             if _is_int_t(t):
@@ -685,6 +686,7 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
                     em.emit(ctx, k, fail, E.ABOVE_MAXIMUM,
                             ctx_fn=lambda i: {"maximum": mx,
                                               "actual": float(f[i])})
+        _emit_custom(plan, ctx, em, num_ok, val)
     elif ty == "array":
         if not _is_list_t(t):
             em.emit(ctx, k, alive, E.EXPECTED_ARRAY, ctx_fn=_got_fn(t, isnull))
@@ -747,15 +749,43 @@ def eval_emit(plan: Plan, ctx: Ctx, em: Emitter) -> None:
     elif ty == "boolean":
         if not pa.types.is_boolean(t):
             em.emit(ctx, k, alive, E.EXPECTED_BOOLEAN, ctx_fn=_got_fn(t, isnull))
-        elif isnull.any():
-            em.emit(ctx, k, alive & isnull, E.EXPECTED_BOOLEAN,
-                    ctx_fn=_got_fn(t, isnull))
+        else:
+            if isnull.any():
+                em.emit(ctx, k, alive & isnull, E.EXPECTED_BOOLEAN,
+                        ctx_fn=_got_fn(t, isnull))
+            _emit_custom(plan, ctx, em, alive & ~isnull, val)
     else:
         # Type absent/unknown: required + properties when instance is an
         # object; no additionalProperties check (validator/mod.rs:417-441).
         if pa.types.is_struct(t):
             _object_emit(plan, ctx, alive & ~isnull, em, k,
                          check_additional=False)
+
+
+def _emit_custom(plan: Plan, ctx: Ctx, em: Emitter, ok: np.ndarray,
+                 val: pa.Array) -> None:
+    """Registry checks after the built-ins of a scalar type arm
+    (engine/registry.py); ordinal base 1000 keeps them after every built-in
+    check in the per-row rank sort, matching the oracle's emission order."""
+    if not plan.custom:
+        return
+    for idx, (spec, state) in enumerate(plan.custom):
+        pass_mask = np.asarray(spec.predicate(state, val, ok), dtype=bool)
+        fail = ok & ~pass_mask
+        if fail.any():
+            arr = val.to_pylist()
+            em.emit(ctx, 1000 + idx, fail, spec.kind,
+                    ctx_fn=lambda i, s=spec, st=state, a=arr: {
+                        "custom_message": s.message(st, a[i])})
+
+
+def _valid_custom(plan: Plan, ok: np.ndarray, val: pa.Array,
+                  valid: np.ndarray) -> None:
+    if not plan.custom:
+        return
+    for spec, state in plan.custom:
+        pass_mask = np.asarray(spec.predicate(state, val, ok), dtype=bool)
+        valid &= pass_mask | ~ok
 
 
 def _got_fn(t: pa.DataType, isnull: np.ndarray) -> Callable[[int], dict]:
@@ -897,6 +927,7 @@ def eval_valid(plan: Plan, val: pa.Array, present: np.ndarray) -> np.ndarray:
                 ok = _np_bool(pc.fill_null(
                     pc.match_substring_regex(val, UUID_REGEX), False))
                 valid &= ok | ~s_ok
+            _valid_custom(plan, s_ok, val, valid)
     elif ty in ("integer", "number"):
         if ty == "integer":
             if not _is_int_t(t):
@@ -919,6 +950,7 @@ def eval_valid(plan: Plan, val: pa.Array, present: np.ndarray) -> np.ndarray:
                 valid &= (f >= plan.minimum) | ~num_ok
             if plan.maximum is not None:
                 valid &= (f <= plan.maximum) | ~num_ok
+        _valid_custom(plan, num_ok, val, valid)
     elif ty == "array":
         if not _is_list_t(t):
             return valid & ~present
@@ -949,6 +981,7 @@ def eval_valid(plan: Plan, val: pa.Array, present: np.ndarray) -> np.ndarray:
         if not pa.types.is_boolean(t):
             return valid & ~present
         apply(~isnull)
+        _valid_custom(plan, present & ~isnull, val, valid)
     else:
         if pa.types.is_struct(t):
             valid &= _object_valid(plan, val, present & ~isnull,

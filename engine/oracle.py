@@ -166,18 +166,21 @@ def validate(schema: Schema, instance: Any, root: Optional[Schema] = None) -> li
                                  inst, _re.IGNORECASE) is None:
                         out.append({"kind": E.INVALID_UUID_FORMAT,
                                     "path": path, "value": inst})
+                _custom_checks(node, inst, path, out)
         elif t == "integer":
             if not _is_i64(inst):
                 out.append({"kind": E.EXPECTED_INTEGER, "path": path,
                             "got": E.json_type_name(inst)})
             else:
                 _numeric_bounds(node, _as_f64(inst), path, out)
+                _custom_checks(node, inst, path, out)
         elif t == "number":
             if not _is_number(inst):
                 out.append({"kind": E.EXPECTED_NUMBER, "path": path,
                             "got": E.json_type_name(inst)})
             else:
                 _numeric_bounds(node, _as_f64(inst), path, out)
+                _custom_checks(node, inst, path, out)
         elif t == "array":
             if not isinstance(inst, list):
                 out.append({"kind": E.EXPECTED_ARRAY, "path": path,
@@ -202,6 +205,8 @@ def validate(schema: Schema, instance: Any, root: Optional[Schema] = None) -> li
             if not isinstance(inst, bool):
                 out.append({"kind": E.EXPECTED_BOOLEAN, "path": path,
                             "got": E.json_type_name(inst)})
+            else:
+                _custom_checks(node, inst, path, out)
         else:
             # Type absent or unknown: still required + properties when the
             # instance is an object; NO additionalProperties check in this arm
@@ -211,6 +216,19 @@ def validate(schema: Schema, instance: Any, root: Optional[Schema] = None) -> li
                                check_additional=False)
 
     return out
+
+
+def _custom_checks(node: Schema, inst: Any, path: tuple, out: list) -> None:
+    """Registry-registered checks (engine/registry.py), run AFTER every
+    built-in check of the node's type arm, lexicographic keyword order —
+    mirrored exactly by the vectorized kernels."""
+    if not node.custom:
+        return
+    from engine.registry import checks_for
+    for spec, state in checks_for(node.custom, node.type):
+        if not spec.scalar_predicate(state, inst):
+            out.append({"kind": spec.kind, "path": path,
+                        "custom_message": spec.message(state, inst)})
 
 
 def _numeric_bounds(node: Schema, v: float, path: tuple, out: list) -> None:

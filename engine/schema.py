@@ -90,6 +90,9 @@ class Schema:
     all_of: Optional[list["Schema"]] = None
     any_of: Optional[list["Schema"]] = None
     one_of: Optional[list["Schema"]] = None
+    #: compiled states of registry-registered custom keywords
+    #: (engine/registry.py); empty unless third-party checks are registered
+    custom: dict[str, Any] = field(default_factory=dict)
 
     def sorted_properties(self) -> list[tuple[str, "Schema"]]:
         """Properties in BTreeMap (lexicographic) order."""
@@ -131,12 +134,23 @@ def _parse_schema_map(v: Any, key: str, strict: bool) -> dict[str, Schema]:
 
 
 def _parse_node(v: Any, strict: bool) -> Schema:
+    from engine.registry import get_check, registered_keywords
     _expect(isinstance(v, dict), "schema must be a JSON object")
+    registered = registered_keywords()
     if strict:
-        unknown = sorted(set(v.keys()) - KNOWN_KEYS)
+        unknown = sorted(set(v.keys()) - KNOWN_KEYS - registered)
         _expect(not unknown, f"unknown field(s) in schema: {', '.join(unknown)}")
     s = Schema()
     for key, val in v.items():
+        if key in registered:
+            try:
+                s.custom[key] = get_check(key).compile(val)
+            except SchemaParseError:
+                raise
+            except Exception as e:  # noqa: BLE001 - schema error surface
+                raise SchemaParseError(
+                    f"invalid value for custom keyword {key}: {e}") from e
+            continue
         if key == "$schema":
             _expect(isinstance(val, str), "$schema must be a string")
             s.schema_uri = val
