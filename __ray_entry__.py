@@ -390,8 +390,20 @@ def _q_ivf_topk(sf_dir: str):
 
 
 def _q_langid(sf_dir: str):
+    """Marker-word language id; both sides count matches with RE2 (pyarrow
+    count_substring_regex here, DuckDB regexp_extract_all in the oracle), so
+    scores are bit-identical IEEE divisions of the same integer counts."""
     from engine.textstats import language_id
-    return language_id(_docs(sf_dir, columns=["doc_id", "text"]))
+    out = language_id(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang_pred": b.column("lang_pred"),
+            "lang_score": pa.array(_round_half_away(
+                b.column("lang_score").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow")
 
 
 def _q_fingerprints(sf_dir: str):
@@ -773,6 +785,47 @@ def oracle_sql() -> dict[str, str]:
             select key_a, key_b, round(cos, 4) as cosine
             from pairs where cos >= 0.99
         """,
+
+        "language_id": r'''
+            with t as (select doc_id, coalesce(text, '') as txt
+                       from documents),
+            b as (select doc_id, txt,
+                    greatest(len(regexp_extract_all(txt, '\S+')),
+                             1)::double as denom,
+                    greatest(length(txt), 1)::double as nchars
+                  from t),
+            s as (select doc_id, [
+                    struct_pack(prio := 0, lang := 'en',
+                      score := len(regexp_extract_all(txt,
+                        '(?i)\b(the|and|of|to|a|in|is|that|it|for)\b'
+                        ))::double / denom),
+                    struct_pack(prio := 1, lang := 'de',
+                      score := len(regexp_extract_all(txt,
+                        '(?i)\b(der|die|und|das|ist|nicht|ein|mit|zu)\b'
+                        ))::double / denom),
+                    struct_pack(prio := 2, lang := 'fr',
+                      score := len(regexp_extract_all(txt,
+                        '(?i)\b(le|la|les|et|des|est|une|dans|que)\b'
+                        ))::double / denom),
+                    struct_pack(prio := 3, lang := 'es',
+                      score := len(regexp_extract_all(txt,
+                        '(?i)\b(el|la|los|de|que|y|en|un|una|es)\b'
+                        ))::double / denom),
+                    struct_pack(prio := 4, lang := 'zh',
+                      score := len(regexp_extract_all(txt,
+                        '[\x{4e00}-\x{9fff}]'))::double / nchars * 5.0)
+                  ] as cand from b),
+            u as (select doc_id, unnest(cand, recursive := true) from s),
+            r as (select doc_id, lang, score,
+                         row_number() over (partition by doc_id
+                                            order by score desc, prio) as rn
+                  from u)
+            select doc_id,
+                   case when score > 0.01 then lang else 'und'
+                       end as lang_pred,
+                   round(score, 4) as lang_score
+            from r where rn = 1
+        ''',
         "jaccard_verify": r"""
             with d as (
               select doc_id,
