@@ -463,6 +463,56 @@ def _q_events_props_validation(sf_dir: str):
                                "instance_path"])
 
 
+def _q_streaming_windows(sf_dir: str):
+    """Micro-batch streaming windows: the events table replayed as three
+    time-ordered micro-batches through the watermark operator; with in-order
+    arrival the union of closed + flushed windows must equal the plain
+    (user, hour) groupby — which is exactly the DuckDB oracle."""
+    import tempfile
+    import pyarrow.compute as pc
+    from engine.streaming import flush, process_micro_batch
+
+    import pandas as pd
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    lo = pd.Timestamp(ev.min("ts"))
+    hi = pd.Timestamp(ev.max("ts"))
+    cuts = [pa.scalar((lo + (hi - lo) * i / 3).to_datetime64(),
+                      pa.timestamp("us")) for i in (1, 2)]
+    sd = tempfile.mkdtemp(prefix="stream_state_")
+    parts = []
+
+    def _between(lo_c, hi_c):
+        def _fn(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column("ts"), pa.timestamp("us"))
+            mask = pa.array(np.ones(len(b), dtype=bool))
+            if lo_c is not None:
+                mask = pc.and_(mask, pc.greater_equal(ts, lo_c))
+            if hi_c is not None:
+                mask = pc.and_(mask, pc.less(ts, hi_c))
+            return b.filter(mask)
+        return _fn
+
+    slices = [
+        ev.map_batches(_between(None, cuts[0]), batch_format="pyarrow"),
+        ev.map_batches(_between(cuts[0], cuts[1]), batch_format="pyarrow"),
+        ev.map_batches(_between(cuts[1], None), batch_format="pyarrow"),
+    ]
+    for sl in slices:
+        closed, _ = process_micro_batch(
+            sl, sd, key_col="user_id", ts_col="ts", value_col="value",
+            window="1h", allowed_lateness="30m")
+        parts.append(closed)
+    parts.append(flush(sd))
+    out = pa.concat_tables([p for p in parts if len(p)])
+    return pa.table({
+        "user_id": out.column("key"),
+        "window_start": out.column("window_start"),
+        "n_events": out.column("n_events"),
+        "value_sum": pa.array(_round_half_away(
+            out.column("value_sum").to_numpy(zero_copy_only=False), 4),
+            pa.float64())})
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -515,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fraction": _q_sample_fraction,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
+        # micro-batch streaming windows with watermarks
+        "streaming_windows": _q_streaming_windows,
         # schema compiler / reverse codegen
         "infer_schema_documents": _q_infer_schema_documents,
         # multimodal plumbing (stubbed decode, real pipeline)
@@ -744,6 +796,12 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from documents
             where substr(md5(cast(doc_id as varchar)), 1, 8)
                   < printf('%08x', {int(0.25 * 2**32)})
+        """,
+        "streaming_windows": """
+            select user_id, date_trunc('hour', ts) as window_start,
+                   count(*) as n_events,
+                   round(sum(value), 4) as value_sum
+            from events group by 1, 2
         """,
         "events_props_validation": """
             with e as (select event_id, props from events),

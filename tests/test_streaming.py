@@ -1,0 +1,125 @@
+"""Micro-batch streaming windows with watermarks (engine/streaming.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(rows):
+    """rows: [(user, ts_minutes, value)] -> Dataset."""
+    import ray.data
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([base + np.timedelta64(r[1] * 60, "s")
+                        for r in rows], pa.timestamp("us")),
+        "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+    })
+    return ray.data.from_arrow(t)
+
+
+class TestWatermarkWindows:
+    def test_stream_matches_batch_groupby(self, ray_session, tmp_path):
+        from engine.streaming import flush, process_micro_batch
+        sd = str(tmp_path / "state")
+        all_rows = []
+        rng = np.random.default_rng(7)
+        batches = []
+        t = 0
+        for _ in range(4):  # 4 micro-batches of strictly advancing time
+            rows = [(int(rng.integers(0, 5)), t + int(rng.integers(0, 120)),
+                     float(rng.random()))
+                    for _ in range(200)]
+            t += 120
+            batches.append(rows)
+            all_rows.extend(rows)
+
+        closed_parts = []
+        for rows in batches:
+            closed, summary = process_micro_batch(
+                _events(rows), sd, window="1h", allowed_lateness="0s")
+            closed_parts.append(closed.to_pandas())
+            assert summary["late_events"] == 0
+        closed_parts.append(flush(sd).to_pandas())
+        got = pd.concat(closed_parts, ignore_index=True)
+
+        # batch oracle: plain (user, hour-window) groupby of everything
+        df = _events(all_rows).to_pandas()
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        df["window_start"] = pd.to_datetime(
+            (us // 3_600_000_000) * 3_600_000_000,
+            unit="us").astype("datetime64[us]")
+        exp = df.groupby(["user_id", "window_start"]).agg(
+            n_events=("value", "size"),
+            value_sum=("value", "sum")).reset_index()
+        got = got.rename(columns={"key": "user_id"})
+        cols = ["user_id", "window_start", "n_events"]
+        got_s = got.sort_values(cols).reset_index(drop=True)
+        exp_s = exp.sort_values(cols).reset_index(drop=True)
+        assert got_s[cols].equals(exp_s[cols])
+        assert np.allclose(got_s["value_sum"], exp_s["value_sum"])
+
+    def test_windows_close_exactly_once(self, ray_session, tmp_path):
+        from engine.streaming import process_micro_batch
+        sd = str(tmp_path / "state")
+        # batch 1: minutes 0..50 -> watermark 50m-10m = 40m; hour-window 0
+        # still open
+        c1, s1 = process_micro_batch(
+            _events([(1, m, 1.0) for m in range(0, 51, 10)]), sd,
+            window="1h", allowed_lateness="10m")
+        assert len(c1) == 0 and s1["open_windows"] == 1
+        # batch 2: minutes 120..130 -> watermark 110m: window 0 closes
+        c2, s2 = process_micro_batch(
+            _events([(1, 120, 1.0), (1, 130, 1.0)]), sd,
+            window="1h", allowed_lateness="10m")
+        df = c2.to_pandas()
+        assert len(df) == 1 and df["n_events"][0] == 6
+        # batch 3: nothing new for window 0 — it must NOT re-emit
+        c3, _ = process_micro_batch(
+            _events([(1, 140, 1.0)]), sd, window="1h",
+            allowed_lateness="10m")
+        assert len(c3) == 0
+
+    def test_late_events_counted_and_dropped(self, ray_session, tmp_path):
+        from engine.streaming import process_micro_batch
+        sd = str(tmp_path / "state")
+        process_micro_batch(_events([(1, 200, 1.0)]), sd, window="1h",
+                            allowed_lateness="10m")  # watermark -> 190m
+        closed, summary = process_micro_batch(
+            _events([(1, 100, 1.0), (1, 210, 1.0)]), sd, window="1h",
+            allowed_lateness="10m")
+        assert summary["late_events"] == 1  # the 100m event is late
+        # on-time event aggregated; late one dropped
+        from engine.streaming import flush
+        final = flush(sd).to_pandas()
+        assert final["n_events"].sum() + len(closed) >= 1
+
+    def test_watermark_never_regresses(self, ray_session, tmp_path):
+        from engine.streaming import process_micro_batch, WindowState
+        sd = str(tmp_path / "state")
+        process_micro_batch(_events([(1, 300, 1.0)]), sd, window="1h",
+                            allowed_lateness="0s")
+        wm1 = WindowState(sd).load_meta()["watermark_us"]
+        # a batch whose max ts is OLDER must not pull the watermark back
+        closed, s = process_micro_batch(
+            _events([(1, 100, 1.0)]), sd, window="1h",
+            allowed_lateness="0s")
+        wm2 = WindowState(sd).load_meta()["watermark_us"]
+        assert wm2 == wm1
+        assert s["late_events"] == 1
+
+    def test_resume_state_persists(self, ray_session, tmp_path):
+        from engine.streaming import WindowState, process_micro_batch
+        sd = str(tmp_path / "state")
+        process_micro_batch(_events([(7, 10, 2.0)]), sd, window="1h",
+                            allowed_lateness="0s")
+        st = WindowState(sd)
+        open_tbl = st.load_open()
+        assert len(open_tbl) == 1
+        meta = st.load_meta()
+        assert meta["version"] == 1
+        # second "process" after a simulated restart continues the stream
+        process_micro_batch(_events([(7, 70, 3.0)]), sd, window="1h",
+                            allowed_lateness="0s")
+        assert WindowState(sd).load_meta()["version"] == 2
