@@ -694,3 +694,36 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
             "cosine": pa.array(cos[keep], pa.float64())})
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter auto-tuning
+
+
+def tune_bands(threshold: float, k: int = 64) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash LSH from the target jaccard
+    threshold: the S-curve P(candidate | jaccard=s) = 1 - (1 - s^r)^b has
+    its steepest point near (1/b)^(1/r); pick the divisor pair of ``k``
+    whose inflection lands closest to ``threshold``, breaking ties toward
+    more bands (higher recall at the threshold).
+
+    Standard MMDS construction (Leskovec/Rajaraman/Ullman ch.3, public
+    algorithm); deterministic, no corpus pass needed.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, k + 1):
+        if k % b:
+            continue
+        r = k // b
+        inflection = (1.0 / b) ** (1.0 / r)
+        score = (abs(inflection - threshold), -b)
+        if best is None or score < best[0]:
+            best = (score, (b, r))
+    return best[1]
+
+
+def candidate_probability(jaccard: float, bands: int, r: int) -> float:
+    """P(pair becomes an LSH candidate) at a given true jaccard."""
+    return 1.0 - (1.0 - jaccard ** r) ** bands

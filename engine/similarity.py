@@ -200,3 +200,143 @@ def ivf_topk(ds, queries: np.ndarray, codebook: np.ndarray, *,
         batch_size=batch_size, concurrency=concurrency)
     return partials.groupby("query_id").map_groups(
         lambda df: _merge_topk(df, k), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence: build once, reuse for repeated query batches
+
+
+def build_ivf_index(ds, index_dir: str, *, vec_col: str = "embedding",
+                    key_col: str = "vec_id", n_cells: int = 16,
+                    sample_rows: int = 4096, batch_size: int = 8192,
+                    concurrency=None) -> np.ndarray:
+    """Train a codebook and persist the index under ``index_dir``:
+
+    * ``codebook.parquet`` — (cell, centroid float64 list);
+    * ``cells/cell=<n>/*.parquet`` — (key, unit-vector float64 list) rows
+      hash-partitioned by nearest cell via ``write_parquet`` partitioning.
+
+    Repeated queries then read ONLY the probed cells' partitions
+    (partition pruning at the read — the IVF payoff at scale is skipping
+    ``(1 - nprobe/cells)`` of the corpus bytes in storage, not just in
+    compute). Returns the codebook.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    cb = train_codebook(ds, vec_col=vec_col, n_cells=n_cells,
+                        sample_rows=sample_rows)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"cell": pa.array(range(len(cb)), pa.int32()),
+                  "centroid": pa.array([c.tolist() for c in cb],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "codebook.parquet"))
+
+    cb_ref = ray.put(cb)
+
+    class _Assign:
+        def __init__(self, ref):
+            self.ref = ref
+            self._cb = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._cb is None:
+                self._cb = ray.get(self.ref) if isinstance(
+                    self.ref, ray.ObjectRef) else self.ref
+            unit = _normalize(_batch_matrix(batch, vec_col))
+            cells = np.argmax(unit @ self._cb.T, axis=1).astype(np.int32)
+            return pa.table({
+                "key": batch.column(key_col),
+                "vec": pa.array([unit[i].tolist() for i in range(len(unit))],
+                                pa.list_(pa.float64())),
+                "cell": pa.array(cells),
+            })
+
+    assigned = ds.map_batches(_Assign(cb_ref), batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency)
+    assigned.write_parquet(os.path.join(index_dir, "cells"),
+                           partition_cols=["cell"])
+    return cb
+
+
+def load_ivf_codebook(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(index_dir, "codebook.parquet"))
+    cells = t.column("cell").to_numpy(zero_copy_only=False)
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("centroid").to_pylist()])
+    return cents[np.argsort(cells)]
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
+                     nprobe: int = 4, batch_size: int = 8192,
+                     concurrency=None):
+    """Top-k over a persisted IVF index: reads ONLY the probed cells'
+    parquet partitions (Hive layout under ``cells/``), scores them against
+    the broadcast query matrix, merges per-query top-k."""
+    import os
+
+    import ray
+    import ray.data
+
+    cb = load_ivf_codebook(index_dir)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ cb.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    paths = [os.path.join(index_dir, "cells", f"cell={c}") for c in wanted
+             if os.path.isdir(os.path.join(index_dir, "cells", f"cell={c}"))]
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int32()),
+            "key": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    # NOTE: Ray's write_parquet(partition_cols) drops the partition column
+    # from the files; the cell id is recovered from the directory path.
+    # read_parquet with a list wants FILES, not hive dirs — glob them.
+    import glob as _glob
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
+    ds = ray.data.read_parquet(files)
+    side = ray.put((q, probes))
+
+    class _Score:
+        def __init__(self, ref):
+            self.ref = ref
+            self._side = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._side is None:
+                self._side = ray.get(self.ref) if isinstance(
+                    self.ref, ray.ObjectRef) else self.ref
+            qm, _prb = self._side
+            mat = _batch_matrix(batch, "vec")
+            keys = batch.column("key").to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "key": [], "cosine": []}
+            for qi in range(len(qm)):
+                col = mat @ qm[qi]
+                kk = min(k, len(mat))
+                if kk == 0:
+                    continue
+                idx = (np.argpartition(-col, kk - 1)[:kk]
+                       if kk < len(mat) else np.arange(len(mat)))
+                out["query_id"].extend([qi] * len(idx))
+                out["key"].extend(keys[idx].tolist())
+                out["cosine"].extend(col[idx].tolist())
+            return pa.table({
+                "query_id": pa.array(out["query_id"], pa.int32()),
+                "key": pa.array(out["key"]),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            })
+
+    partials = ds.map_batches(_Score(side), batch_format="pyarrow",
+                              batch_size=batch_size,
+                              concurrency=concurrency)
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas")

@@ -296,3 +296,89 @@ class TestSessionize:
                 == e["session_start"].to_numpy()).all()
         assert (g["session_end"].to_numpy()
                 == e["session_end"].to_numpy()).all()
+
+
+class TestLshTuning:
+    def test_inflection_tracks_threshold(self):
+        from engine.dedup import candidate_probability, tune_bands
+        for thr in (0.3, 0.5, 0.7, 0.9):
+            b, r = tune_bands(thr, 64)
+            assert b * r == 64
+            # recall above the threshold must be high, below must drop
+            assert candidate_probability(min(thr + 0.25, 0.99), b, r) > 0.85
+            assert candidate_probability(max(thr - 0.25, 0.01), b, r) < \
+                candidate_probability(min(thr + 0.25, 0.99), b, r)
+
+    def test_known_points(self):
+        from engine.dedup import tune_bands
+        # classic MMDS example: b=16, r=4 -> inflection ~0.5
+        assert tune_bands(0.5, 64) == (16, 4)
+        b, r = tune_bands(0.9, 64)
+        assert r >= 8  # high threshold -> long rows, few bands
+
+    def test_bad_threshold(self):
+        import pytest
+        from engine.dedup import tune_bands
+        with pytest.raises(ValueError):
+            tune_bands(1.5)
+
+    def test_minhash_accepts_tuned_params(self, ray_session):
+        import ray.data
+        from engine.dedup import minhash_near_duplicates, tune_bands
+        b, r = tune_bands(0.5, 64)
+        texts = ["the quick brown fox jumps over the lazy dog " + str(i)
+                 for i in range(30)]
+        texts.append(texts[0] + " extra")
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        out = minhash_near_duplicates(ds, k=64, bands=b, threshold=0.4)
+        df = out.to_pandas()
+        assert {(0, len(texts) - 1)} <= set(
+            zip(df["key_a"], df["key_b"]))
+
+
+class TestIvfPersistence:
+    def test_build_load_query(self, ray_session, tmp_path):
+        import ray.data
+        from engine.similarity import (build_ivf_index, cosine_topk,
+                                       ivf_topk_indexed, load_ivf_codebook)
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((400, 16))
+        t = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                      "embedding": pa.array([v.tolist() for v in vecs],
+                                            pa.list_(pa.float64()))})
+        ds = ray.data.from_arrow(t)
+        idx = str(tmp_path / "ivf")
+        cb = build_ivf_index(ds, idx, n_cells=8)
+        assert np.allclose(load_ivf_codebook(idx), cb)
+
+        queries = vecs[:3]
+        approx = ivf_topk_indexed(idx, queries, k=5, nprobe=4).to_pandas()
+        exact = cosine_topk(ds, queries, k=5).to_pandas()
+        # recall@5 of the persisted-index path vs brute force
+        hits = 0
+        for qi in range(3):
+            a = set(approx[approx["query_id"] == qi]["key"])
+            e = set(exact[exact["query_id"] == qi]["key"])
+            hits += len(a & e)
+        assert hits >= 10  # >= 2/3 recall with nprobe=4 of 8 cells
+        # self-match must always surface (query == corpus vector)
+        for qi in range(3):
+            a = approx[approx["query_id"] == qi]
+            assert qi in set(a["key"])
+
+    def test_partition_pruned_read(self, ray_session, tmp_path):
+        import os
+        import ray.data
+        from engine.similarity import build_ivf_index, load_ivf_codebook
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((120, 8))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))}))
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx, n_cells=4)
+        cells = os.listdir(os.path.join(idx, "cells"))
+        assert len([c for c in cells if c.startswith("cell=")]) >= 2
