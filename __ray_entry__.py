@@ -425,6 +425,18 @@ def _q_infer_schema_documents(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def _q_audio_features(sf_dir: str):
+    import ray.data
+    from engine.multimodal import audio_features, synth_media_table
+    from engine.synth import media_ref_for
+    refs = [media_ref_for(i) for i in range(200)]
+    ds = ray.data.from_arrow(synth_media_table(refs))
+    out = audio_features(ds, n_samples=1024, batch_size=32).to_pandas()
+    out["audio_features"] = out["audio_features"].map(
+        lambda a: np.asarray(a, dtype=np.float32).tolist())
+    return out
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
     from engine.multimodal import decode_and_featurize, synth_media_table
@@ -571,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_schema_documents": _q_infer_schema_documents,
         # multimodal plumbing (stubbed decode, real pipeline)
         "multimodal_features": _q_multimodal_features,
+        "audio_features": _q_audio_features,
     }
 
 

@@ -382,3 +382,24 @@ class TestIvfPersistence:
         build_ivf_index(ds, idx, n_cells=4)
         cells = os.listdir(os.path.join(idx, "cells"))
         assert len([c for c in cells if c.startswith("cell=")]) >= 2
+
+
+class TestAudioPlumbing:
+    def test_audio_features_shapes_and_determinism(self, ray_session):
+        import ray.data
+        from engine.multimodal import audio_features, synth_media_table
+        refs = [f"media://{i:016x}" for i in range(20)]
+        ds = ray.data.from_arrow(synth_media_table(refs))
+        out = audio_features(ds, n_samples=1024, batch_size=8).to_pandas()
+        assert len(out) == 20
+        feats = np.stack([np.asarray(f) for f in out["audio_features"]])
+        assert feats.shape == (20, 4)
+        assert feats.dtype == np.float32
+        assert (feats[:, 0] > 0).all()  # rms of non-silent fake pcm
+        # deterministic across runs
+        out2 = audio_features(ray.data.from_arrow(synth_media_table(refs)),
+                              n_samples=1024, batch_size=8).to_pandas()
+        feats2 = np.stack([np.asarray(f) for f in out2["audio_features"]])
+        srt = np.argsort(out["media_ref"].to_numpy())
+        srt2 = np.argsort(out2["media_ref"].to_numpy())
+        assert np.allclose(feats[srt], feats2[srt2])
