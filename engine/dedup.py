@@ -168,12 +168,30 @@ def _bucket_key_pairs(df, max_bucket_size: int = 64):
     Byte-identical floods belong to exact dedup, which has no such cap.
     """
     import pandas as pd
+    if "key" not in df.columns:  # schemaless empty group (empty dataset)
+        return pd.DataFrame({"key_a": [], "key_b": []})
     keys = np.unique(df["key"].to_numpy())
     if len(keys) > max_bucket_size:
         keys = keys[:0]
     rows = [{"key_a": keys[i], "key_b": keys[j]}
             for i in range(len(keys)) for j in range(i + 1, len(keys))]
     return pd.DataFrame(rows, columns=["key_a", "key_b"])
+
+
+def _key_type(ds, key_col: str) -> pa.DataType:
+    try:
+        return ds.schema().base_schema.field(key_col).type
+    except Exception:  # pragma: no cover - schema unavailable
+        return pa.int64()
+
+
+def _empty_pairs(key_type: pa.DataType, value_name: str,
+                 value_type: pa.DataType):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "key_a": pa.array([], key_type),
+        "key_b": pa.array([], key_type),
+        value_name: pa.array([], value_type)}))
 
 
 def _add_bkey(cols: list[str]):
@@ -234,11 +252,13 @@ def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
         return b.filter(keep).select(["bkey"])
 
     hot = counts.map_batches(_hot_only, batch_format="pyarrow").materialize()
-    if hot.count() > broadcast_limit:
+    n_hot = hot.count()
+    if n_hot > broadcast_limit:
         return keyed.join(hot, join_type="inner",
                           num_partitions=join_partitions(), on=("bkey",))
 
-    ids = np.sort(hot.to_pandas()["bkey"].to_numpy())
+    ids = np.sort(hot.to_pandas()["bkey"].to_numpy()) if n_hot \
+        else np.zeros(0, dtype=np.int64)
     ref = ray.put(ids)
 
     class _HotMember:
@@ -281,10 +301,16 @@ def _pair_key_bloom(uniq_pairs, *, fpr: float = 1e-3):
                        fpr=fpr)
 
 
-def _join_pair_payload(uniq_pairs, payload, col: str):
+def _join_pair_payload(uniq_pairs, payload, col: str, n_pairs: int):
     """Join a (key, <col>) payload dataset onto both sides of a pair
     dataset, producing ``<col>_a`` / ``<col>_b`` columns — the distributed
-    replacement for a driver-built key->payload dict."""
+    replacement for a driver-built key->payload dict.
+
+    Partition count scales with the pair count (>= ~64 pairs expected per
+    partition, floor 1): Ray's hash-join aggregators produce SCHEMALESS
+    empty partitions, which crash the per-partition acero join — sizing
+    partitions to the data makes an empty partition a ~e^-64 probability
+    event while still tracking cluster CPUs for large candidate sets."""
     from engine.shuffle import join_partitions
 
     def _rename(side: str):
@@ -293,13 +319,40 @@ def _join_pair_payload(uniq_pairs, payload, col: str):
                              f"{col}_{side}": b.column(col)})
         return _fn
 
+    # the payload dataset is always Arrow-blocked (map_batches pyarrow
+    # output) and its "key" column is the pair-key dtype; the pair dataset
+    # may be pandas-blocked (map_groups), whose schema lacks Arrow types
+    payload_schema = payload.schema().base_schema
+    kt = payload_schema.field("key").type
+    vt = payload_schema.field(col).type
+
+    def _norm(fields):
+        """Empty join partitions come out SCHEMALESS; rebuild them typed so
+        the next join / scoring stage never sees a zero-column block."""
+        def _fn(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({name: pa.array([], t)
+                                 for name, t in fields})
+            return b
+        return _fn
+
     pa_side = payload.map_batches(_rename("a"), batch_format="pyarrow")
     pb_side = payload.map_batches(_rename("b"), batch_format="pyarrow")
-    n = join_partitions(4)
-    out = uniq_pairs.join(pa_side, join_type="inner", num_partitions=n,
-                          on=("key_a",))
-    return out.join(pb_side, join_type="inner", num_partitions=n,
-                    on=("key_b",))
+    n = max(1, min(join_partitions(4), n_pairs // 64 + 1))
+    # the pair set may carry pandas-blocked / schemaless empty partitions
+    # (map_groups output): normalize to typed Arrow before the first join
+    pairs_norm = uniq_pairs.map_batches(
+        _norm([("key_a", kt), ("key_b", kt)]), batch_format="pyarrow")
+    mid_fields = [("key_a", kt), ("key_b", kt), (f"{col}_a", vt)]
+    out = pairs_norm.join(
+        pa_side, join_type="inner", num_partitions=n,
+        on=("key_a",)).map_batches(_norm(mid_fields),
+                                   batch_format="pyarrow")
+    final_fields = mid_fields + [(f"{col}_b", vt)]
+    return out.join(
+        pb_side, join_type="inner", num_partitions=n,
+        on=("key_b",)).map_batches(_norm(final_fields),
+                                   batch_format="pyarrow")
 
 
 class _SigCandidatesBatch:
@@ -404,6 +457,10 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
     # without re-running the LSH) is the intended scale behavior
     uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
         .select_columns(["key_a", "key_b"]).materialize()
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:  # no candidates: typed empty result
+        return _empty_pairs(_key_type(ds, key_col), "est_jaccard",
+                            pa.float64())
 
     bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
     sigs = ds.map_batches(
@@ -411,7 +468,7 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency).materialize()  # sparse: candidate keys only
 
-    joined = _join_pair_payload(uniq_pairs, sigs, "sig")
+    joined = _join_pair_payload(uniq_pairs, sigs, "sig", n_pairs)
     return joined.map_batches(_score_sig_pairs(threshold),
                               batch_format="pyarrow")
 
@@ -481,6 +538,8 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
         })
 
     def _pairs(df):
+        if "key" not in df.columns:  # schemaless empty group
+            return pd.DataFrame(columns=["key_a", "key_b", "hamming"])
         keys = df["key"].to_numpy()
         fps = df["simhash"].to_numpy().astype(np.uint64)
         out = []
@@ -502,8 +561,13 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
         _pairs, batch_format="pandas")
     from ray.data.aggregate import Min
     agg = pairs.groupby(["key_a", "key_b"]).aggregate(Min("hamming"))
+    kt = _key_type(ds, key_col)
 
     def _final(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:  # empty aggregate block
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt),
+                             "hamming": pa.array([], pa.int64())})
         return pa.table({"key_a": b.column("key_a"),
                          "key_b": b.column("key_b"),
                          "hamming": b.column("min(hamming)")})
@@ -548,6 +612,10 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
     import ray
 
     uniq_pairs = ds_pairs.select_columns(["key_a", "key_b"]).materialize()
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:
+        return _empty_pairs(_key_type(docs_ds, key_col), "jaccard",
+                            pa.float64())
     bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
 
     class _KeepCandidates:
@@ -569,7 +637,7 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
 
     cand_docs = docs_ds.map_batches(
         _KeepCandidates(bloom_ref), batch_format="pyarrow").materialize()
-    joined = _join_pair_payload(uniq_pairs, cand_docs, "text")
+    joined = _join_pair_payload(uniq_pairs, cand_docs, "text", n_pairs)
 
     def _verify(batch: pa.Table) -> pa.Table:
         ta = batch.column("text_a").to_pylist()
@@ -642,6 +710,9 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     # sparse pair set: the only materialized intermediate (see minhash)
     uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
         .select_columns(["key_a", "key_b"]).materialize()
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:
+        return _empty_pairs(_key_type(ds, key_col), "cosine", pa.float64())
 
     bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
 
@@ -670,7 +741,7 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
 
     vecs = ds.map_batches(_FetchVecs(bloom_ref), batch_format="pyarrow",
                           batch_size=batch_size).materialize()
-    joined = _join_pair_payload(uniq_pairs, vecs, "vec")
+    joined = _join_pair_payload(uniq_pairs, vecs, "vec", n_pairs)
 
     def _score(b: pa.Table) -> pa.Table:
         empty = pa.table({

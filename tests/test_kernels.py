@@ -359,3 +359,31 @@ class TestEcmaTranslation:
         from engine.ecma import compile_ecma
         assert compile_ecma("[") is None
         assert compile_ecma("(") is None
+
+
+class TestEcmaCrossEngineFuzz:
+    """RE2 (pyarrow.compute) implements ASCII \\d \\w \\b exactly like ECMA,
+    so it is an independent oracle for the translated Python patterns on
+    those classes (\\s and `.` differ between RE2 and ECMA and are excluded;
+    their ECMA semantics are pinned in TestEcmaTranslation)."""
+
+    def test_digit_word_boundary_agree_with_re2(self):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from engine.ecma import compile_ecma
+        import random
+        rng = random.Random(5)
+        alphabet = "ab1 _-é٣日\t"
+        strings = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+                   for _ in range(300)]
+        patterns = [r"\d", r"\d+", r"^\d+$", r"\w", r"^\w+$", r"\w\d",
+                    r"\bx", r"\ba", r"a\b", r"\B1", r"\D", r"\W",
+                    r"[\d]", r"[\w]+", r"^[\w\d]*$"]
+        arr = pa.array(strings, pa.string())
+        for p in patterns:
+            rx = compile_ecma(p)
+            assert rx is not None, p
+            mine = [rx.search(s) is not None for s in strings]
+            re2 = pc.match_substring_regex(arr, p).to_pylist()
+            assert mine == re2, (
+                p, [s for s, m, r in zip(strings, mine, re2) if m != r])

@@ -135,3 +135,56 @@ def test_empty_fact_fk_count(ray_session):
     cust = ray.data.read_parquet("/root/testdata/sf0.001/customer.parquet")
     t = count_dangling_fk(orders, cust, fk="o_custkey", pk="c_custkey")
     assert t.column("n_dangling").to_pylist() == [0]
+
+
+def test_lsh_pipelines_with_no_candidates(ray_session):
+    """Empty candidate-pair sets must yield typed empty results, not a
+    join crash on schemaless blocks (round-2 regression)."""
+    import ray.data
+    import pyarrow as pa
+    import numpy as np
+    from engine.dedup import (embedding_near_duplicates,
+                              minhash_near_duplicates,
+                              simhash_near_duplicates,
+                              verify_pairs_jaccard)
+    texts = [f"completely unique document number {i} with words {i*7}"
+             for i in range(30)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    assert minhash_near_duplicates(ds, threshold=0.5).count() == 0
+    assert simhash_near_duplicates(ds).count() == 0
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((20, 16))
+    eds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64()))}))
+    assert embedding_near_duplicates(eds, dim=16,
+                                     threshold=0.999).count() == 0
+    pairs = ray.data.from_arrow(pa.table({
+        "key_a": pa.array([], pa.int64()),
+        "key_b": pa.array([], pa.int64())}))
+    assert verify_pairs_jaccard(pairs, ds, threshold=0.0).count() == 0
+
+
+def test_streaming_empty_micro_batch(ray_session, tmp_path):
+    """An empty micro-batch must advance nothing and not crash."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from engine.streaming import process_micro_batch
+    sd = str(tmp_path / "state")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    full = pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "ts": pa.array([base], pa.timestamp("us")),
+        "value": pa.array([1.0], pa.float64())})
+    process_micro_batch(ray.data.from_arrow(full), sd, window="1h",
+                        allowed_lateness="0s")
+    empty = ray.data.from_arrow(full.slice(0, 0))
+    closed, summary = process_micro_batch(empty, sd, window="1h",
+                                          allowed_lateness="0s")
+    assert len(closed) == 0
+    assert summary["late_events"] == 0
+    assert summary["open_windows"] == 1
