@@ -344,27 +344,36 @@ def schema_to_dict(s: Schema) -> dict:
     return out
 
 
-#: Draft markers for spec-version inference, newest first (reference
-#: ``json_schema/spec_version.rs:7-87`` — an inert annotation: it does not
-#: change validation behavior, matching the reference today).
-_SPEC_MARKERS = [
-    ("2020-12", "Draft202012"),
-    ("2019-09", "Draft201909"),
-    ("draft-07", "Draft07"),
-    ("draft-06", "Draft06"),
-    ("draft-04", "Draft04"),
-    ("draft-03", "Draft03"),
-    ("draft-02", "Draft02"),
-    ("draft-01", "Draft01"),
-    ("draft-00", "Draft00"),
-]
+#: Canonical meta-schema URIs -> draft names, exact matching per the
+#: reference ``SpecVersion::from_schema_uri`` (``spec_version.rs:48-75``):
+#: trailing slash stripped, the legacy ``http://json-schema.org/schema#``
+#: resolves to Draft04. The version is an inert annotation — it does not
+#: change validation behavior, matching the reference today.
+_SPEC_URIS = {
+    "http://json-schema.org/draft-00/hyper-schema#": "Draft00",
+    "http://json-schema.org/draft-01/hyper-schema#": "Draft01",
+    "http://json-schema.org/draft-02/hyper-schema#": "Draft02",
+    "http://json-schema.org/draft-03/schema#": "Draft03",
+    "http://json-schema.org/draft-04/schema#": "Draft04",
+    "http://json-schema.org/schema#": "Draft04",  # legacy deprecated alias
+    "http://json-schema.org/draft-05/schema#": "Draft05",
+    "http://json-schema.org/draft-06/schema#": "Draft06",
+    "http://json-schema.org/draft-07/schema#": "Draft07",
+    "https://json-schema.org/draft/2019-09/schema": "Draft201909",
+    "https://json-schema.org/draft/2020-12/schema": "Draft202012",
+}
+
+
+def spec_version_from_uri(uri: str):
+    """Exact-URI draft lookup (``spec_version.rs:48-75``): trimmed, trailing
+    slash normalized; None for empty/unknown/malformed."""
+    u = (uri or "").strip()
+    if not u:
+        return None
+    return _SPEC_URIS.get(u.rstrip("/")) or _SPEC_URIS.get(u)
 
 
 def infer_spec_version(schema: Schema) -> str:
-    """Inert draft inference from the ``$schema`` URI; defaults to
-    Draft202012 when absent or unrecognized."""
-    uri = schema.schema_uri or ""
-    for marker, name in _SPEC_MARKERS:
-        if marker in uri:
-            return name
-    return "Draft202012"
+    """Draft inference from the root ``$schema`` URI; Draft202012 when
+    absent or unrecognized (``settings.rs:19-21`` inference rule)."""
+    return spec_version_from_uri(schema.schema_uri or "") or "Draft202012"

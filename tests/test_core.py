@@ -309,3 +309,34 @@ class TestStrictModeNested:
                          strict=True)
         with pytest.raises(SchemaParseError):
             parse_schema('{"allOf":[{"nope":1}]}', strict=True)
+
+
+class TestSpecVersionUris:
+    """Exact-URI draft matching (spec_version.rs:48-75)."""
+
+    def test_exact_uris(self):
+        from engine.schema import spec_version_from_uri
+        assert spec_version_from_uri(
+            "https://json-schema.org/draft/2020-12/schema") == "Draft202012"
+        assert spec_version_from_uri(
+            "http://json-schema.org/draft-07/schema#") == "Draft07"
+        assert spec_version_from_uri(
+            "http://json-schema.org/draft-05/schema#") == "Draft05"
+        # legacy deprecated alias -> Draft04
+        assert spec_version_from_uri(
+            "http://json-schema.org/schema#") == "Draft04"
+        # trailing slash normalized
+        assert spec_version_from_uri(
+            "https://json-schema.org/draft/2019-09/schema/") == "Draft201909"
+        # whitespace trimmed
+        assert spec_version_from_uri(
+            "  https://json-schema.org/draft/2020-12/schema ") == \
+            "Draft202012"
+
+    def test_unknown_and_empty(self):
+        from engine.schema import spec_version_from_uri
+        assert spec_version_from_uri("") is None
+        assert spec_version_from_uri("https://example.com/schema") is None
+        # substring-lookalikes are NOT matched (exact matching only)
+        assert spec_version_from_uri(
+            "https://mysite.org/2020-12/custom") is None
