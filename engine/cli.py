@@ -185,6 +185,31 @@ def cmd_compile(args) -> int:
     return 0
 
 
+def cmd_stream_window(args) -> int:
+    """One micro-batch of the watermark window operator: aggregate the
+    input slice against the persistent window state, append the closed
+    windows to --out, print a summary JSON line. Re-running with new input
+    slices continues the stream; state commits are atomic renames."""
+    _ray_init(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data
+    from engine.streaming import process_micro_batch
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.key_col, args.ts_col, args.value_col])
+    closed, summary = process_micro_batch(
+        ds, args.state, key_col=args.key_col, ts_col=args.ts_col,
+        value_col=args.value_col, window=args.window,
+        allowed_lateness=args.lateness)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        version = json.load(open(os.path.join(
+            args.state, "meta.json")))["version"]
+        pq.write_table(closed, os.path.join(
+            args.out, f"closed_v{version:06d}.parquet"))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_stats(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data
@@ -248,6 +273,20 @@ def main(argv=None) -> int:
                    help="Codegen Settings: primary source for model names "
                         "(default: title-first; cli/mod.rs:45-51)")
     p.set_defaults(fn=cmd_compile)
+
+    p = sub.add_parser("stream-window",
+                       help="micro-batch windowed aggregation with "
+                            "watermarks (resumable state)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--state", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--window", default="1h")
+    p.add_argument("--lateness", default="30m")
+    p.add_argument("--key-col", default="user_id")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_stream_window)
 
     p = sub.add_parser("stats", help="per-column stats")
     p.add_argument("--input", required=True)

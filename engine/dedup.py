@@ -77,22 +77,55 @@ def exact_duplicates(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
 
 def _doc_shingle_hashes(texts: list, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
-    """Flattened 64-bit hashes of word n-gram shingles + doc offsets."""
-    all_shingles: list = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if len(words) < n:
-            sh = [" ".join(words)] if words else []
-        else:
-            sh = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)]
-        all_shingles.extend(sh)
-        counts[i] = len(sh)
-    if all_shingles:
-        h = hash64(np.array(all_shingles, dtype=object))
-    else:
-        h = np.zeros(0, dtype=np.uint64)
-    return h, counts
+    """Flattened 64-bit hashes of word n-gram shingles + per-doc counts.
+
+    Vectorized: words are hashed ONCE (one pd.hash_array over the flat word
+    list) and a shingle hash is an ordered splitmix chain of its n word
+    hashes — shingle strings are never materialized. Documents with
+    1..n-1 words contribute one shingle (the chain over all their words);
+    empty documents contribute none. Equivalent shingle-set semantics to
+    string n-grams for minhash/simhash (only the hash basis differs).
+    """
+    word_lists = [(t or "").lower().split() for t in texts]
+    wcounts = np.array([len(w) for w in word_lists], dtype=np.int64)
+    flat: list = []
+    for w in word_lists:
+        flat.extend(w)
+    counts = np.where(wcounts >= n, wcounts - n + 1,
+                      np.where(wcounts > 0, 1, 0)).astype(np.int64)
+    total = int(counts.sum())
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, counts
+    wh = hash64(np.array(flat, dtype=object))
+    L = len(wh)
+    with np.errstate(over="ignore"):
+        # acc[i] = chain over wh[i..i+n-1] (tail positions are garbage and
+        # masked out below; shifted-array chaining keeps this one pass)
+        acc = _splitmix(wh, 101)
+        for j in range(1, n):
+            nxt = np.zeros(L, dtype=np.uint64)
+            nxt[:L - j] = wh[j:]
+            acc = _splitmix(acc ^ nxt, 101 + j)
+        doc_start = np.concatenate([[0], np.cumsum(wcounts)[:-1]])
+        pos = 0
+        for i in range(len(texts)):
+            W = int(wcounts[i])
+            if W == 0:
+                continue
+            ds_ = int(doc_start[i])
+            if W >= n:
+                k = W - n + 1
+                out[pos:pos + k] = acc[ds_:ds_ + k]
+                pos += k
+            else:  # short doc: chain over all W words, zero-padded to n
+                a = _splitmix(wh[ds_], 101)
+                for j in range(1, n):
+                    x = wh[ds_ + j] if j < W else np.uint64(0)
+                    a = _splitmix(a ^ x, 101 + j)
+                out[pos] = a
+                pos += 1
+    return out, counts
 
 
 def minhash_signatures_batch(texts: list, k: int = 64,

@@ -123,3 +123,27 @@ class TestWatermarkWindows:
         process_micro_batch(_events([(7, 70, 3.0)]), sd, window="1h",
                             allowed_lateness="0s")
         assert WindowState(sd).load_meta()["version"] == 2
+
+
+def test_cli_stream_window(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "closed")
+    cmd = [sys.executable, "-m", "engine.cli", "stream-window",
+           "--input", "/root/testdata/sf0.001/events.parquet",
+           "--state", state, "--out", out, "--num-cpus", "2"]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["late_events"] == 0
+    assert summary["closed_windows"] > 0
+    import os
+    assert os.path.exists(os.path.join(out, "closed_v000001.parquet"))
+    # replaying the SAME slice: everything is now behind the watermark
+    r2 = subprocess.run(cmd, capture_output=True, text=True,
+                        cwd="/root/repo")
+    s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["late_events"] > 0 and s2["closed_windows"] == 0
