@@ -203,3 +203,147 @@ def drift_check(ds, baseline: dict, *,
                                           "value", "drifted"])
 
     return merged.map_batches(_score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# incremental drift over streaming micro-batches
+
+
+def save_baseline(baseline: dict, path: str) -> None:
+    """Serialize a baseline sketch store to one parquet file (atomic
+    rename commit, same discipline as engine/streaming.py state)."""
+    import os
+
+    import pyarrow.parquet as pq
+    rows = []
+    for col, (kind, payload) in sorted(baseline.items()):
+        rows.append({
+            "column": col, "kind": kind,
+            "tdigest": payload.to_bytes() if kind == "numeric" else b"",
+            "counts": json.dumps(payload) if kind == "categorical" else "",
+        })
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("column", pa.string()), ("kind", pa.string()),
+        ("tdigest", pa.binary()), ("counts", pa.string())]))
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def load_baseline(path: str) -> dict:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path)
+    out: dict = {}
+    for row in tbl.to_pylist():
+        if row["kind"] == "numeric":
+            out[row["column"]] = ("numeric",
+                                  TDigest.from_bytes(bytes(row["tdigest"])))
+        else:
+            out[row["column"]] = ("categorical",
+                                  json.loads(row["counts"] or "{}"))
+    return out
+
+
+def drift_micro_batch(ds, state_dir: str, *,
+                      numeric: Sequence[str] = NUMERIC_DEFAULT,
+                      categorical: Sequence[str] = CATEGORICAL_DEFAULT,
+                      ks_threshold: float = 0.15,
+                      psi_threshold: float = 0.2,
+                      update_baseline: str = "if_clean",
+                      batch_size: int = 8192):
+    """Incremental drift: check one micro-batch against the persistent
+    baseline sketch store under ``state_dir``; returns (verdicts, summary).
+
+    * first micro-batch seeds the baseline (no verdicts);
+    * ``update_baseline``: "if_clean" merges the batch's sketches into the
+      baseline only when NO column drifted (a drifting batch must not
+      poison the reference distribution), "always" merges regardless,
+      "never" keeps the original baseline frozen;
+    * sketches are mergeable (t-digest / counts), so the baseline grows
+      without ever re-reading history — the streaming analog of
+      ``build_baseline``. State commits are atomic renames.
+    """
+    import os
+
+    bpath = os.path.join(state_dir, "drift_baseline.parquet")
+    mpath = os.path.join(state_dir, "drift_meta.json")
+    os.makedirs(state_dir, exist_ok=True)
+
+    # one-partition sketch of this micro-batch (distributed partial pass)
+    partials = ds.map_batches(
+        _DriftPartialBatch(numeric, categorical),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    batch_sketch: dict = {}
+    for row in partials.iter_rows():
+        col = row["column"]
+        if row["kind"] == "numeric":
+            td = TDigest.from_bytes(bytes(row["tdigest"]))
+            if col in batch_sketch:
+                batch_sketch[col][1].merge(td)
+            else:
+                batch_sketch[col] = ("numeric", td)
+        else:
+            cnts = json.loads(row["counts"]) if row["counts"] else {}
+            if col in batch_sketch:
+                for k, v in cnts.items():
+                    batch_sketch[col][1][k] = \
+                        batch_sketch[col][1].get(k, 0) + v
+            else:
+                batch_sketch[col] = ("categorical", dict(cnts))
+
+    meta = json.load(open(mpath)) if os.path.exists(mpath) else \
+        {"version": 0, "drifted_batches": 0}
+
+    if not os.path.exists(bpath):  # seed
+        save_baseline(batch_sketch, bpath)
+        meta["version"] += 1
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(mpath + ".tmp", mpath)
+        empty = pa.table({
+            "column": pa.array([], pa.string()),
+            "metric": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "drifted": pa.array([], pa.bool_())})
+        return empty, {"seeded": True, "version": meta["version"],
+                       "drifted_columns": 0}
+
+    baseline = load_baseline(bpath)
+    rows = []
+    for col, (kind, payload) in sorted(batch_sketch.items()):
+        entry = baseline.get(col)
+        if entry is None:
+            continue
+        if kind == "numeric":
+            d = ks_distance(payload, entry[1])
+            rows.append({"column": col, "metric": "ks", "value": d,
+                        "drifted": d > ks_threshold})
+        else:
+            d = psi(payload, entry[1])
+            rows.append({"column": col, "metric": "psi", "value": d,
+                        "drifted": d > psi_threshold})
+    verdicts = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("column", pa.string()), ("metric", pa.string()),
+        ("value", pa.float64()), ("drifted", pa.bool_())]))
+    n_drifted = sum(1 for r in rows if r["drifted"])
+
+    if update_baseline == "always" or (
+            update_baseline == "if_clean" and n_drifted == 0):
+        for col, (kind, payload) in batch_sketch.items():
+            entry = baseline.get(col)
+            if entry is None:
+                baseline[col] = (kind, payload)
+            elif kind == "numeric":
+                entry[1].merge(payload)
+            else:
+                for k, v in payload.items():
+                    entry[1][k] = entry[1].get(k, 0) + v
+        save_baseline(baseline, bpath)
+
+    meta["version"] += 1
+    meta["drifted_batches"] += int(n_drifted > 0)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(mpath + ".tmp", mpath)
+    return verdicts, {"seeded": False, "version": meta["version"],
+                      "drifted_columns": n_drifted}

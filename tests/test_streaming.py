@@ -147,3 +147,49 @@ def test_cli_stream_window(tmp_path):
                         cwd="/root/repo")
     s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["late_events"] > 0 and s2["closed_windows"] == 0
+
+
+class TestIncrementalDrift:
+    def _docs(self, shift=0.0, seed=0, n=2000):
+        import ray.data
+        rng = np.random.default_rng(seed)
+        return ray.data.from_arrow(pa.table({
+            "n_chars": pa.array(rng.normal(100 + shift, 10, n)),
+            "lang": pa.array(rng.choice(
+                ["en", "de", "fr"], n,
+                p=[0.6, 0.3, 0.1] if shift == 0 else [0.1, 0.3, 0.6])),
+        }))
+
+    def test_seed_then_clean_then_drifted(self, ray_session, tmp_path):
+        from engine.drift import drift_micro_batch
+        sd = str(tmp_path / "drift")
+        kw = dict(numeric=("n_chars",), categorical=("lang",))
+        v0, s0 = drift_micro_batch(self._docs(seed=1), sd, **kw)
+        assert s0["seeded"] and len(v0) == 0
+        v1, s1 = drift_micro_batch(self._docs(seed=2), sd, **kw)
+        assert not s1["seeded"]
+        assert s1["drifted_columns"] == 0
+        df1 = v1.to_pandas()
+        assert not df1["drifted"].any()
+        # shifted distribution drifts on both columns
+        v2, s2 = drift_micro_batch(self._docs(shift=60, seed=3), sd, **kw)
+        df2 = v2.to_pandas()
+        assert df2["drifted"].all()
+        assert s2["drifted_columns"] == 2
+
+    def test_drifted_batch_does_not_poison_baseline(self, ray_session,
+                                                    tmp_path):
+        from engine.drift import drift_micro_batch, load_baseline
+        import os
+        sd = str(tmp_path / "drift")
+        kw = dict(numeric=("n_chars",), categorical=("lang",))
+        drift_micro_batch(self._docs(seed=1), sd, **kw)
+        before = load_baseline(os.path.join(sd, "drift_baseline.parquet"))
+        base_n = before["n_chars"][1].total
+        drift_micro_batch(self._docs(shift=60, seed=3), sd, **kw)
+        after = load_baseline(os.path.join(sd, "drift_baseline.parquet"))
+        assert after["n_chars"][1].total == base_n  # unchanged (if_clean)
+        # a clean batch DOES merge
+        drift_micro_batch(self._docs(seed=4), sd, **kw)
+        final = load_baseline(os.path.join(sd, "drift_baseline.parquet"))
+        assert final["n_chars"][1].total > base_n
