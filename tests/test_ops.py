@@ -403,3 +403,49 @@ class TestAudioPlumbing:
         srt = np.argsort(out["media_ref"].to_numpy())
         srt2 = np.argsort(out2["media_ref"].to_numpy())
         assert np.allclose(feats[srt], feats2[srt2])
+
+
+class TestMultiProbeLsh:
+    def _planted(self, n=150, n_dups=25, noise=0.12, seed=4):
+        import ray.data
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n, 32))
+        dups = base[:n_dups] + noise * rng.standard_normal((n_dups, 32))
+        vecs = np.concatenate([base, dups])
+        ids = list(range(n)) + [1000 + i for i in range(n_dups)]
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))})), n_dups
+
+    def _recall(self, out, n_dups):
+        df = out.to_pandas()
+        found = {(a, b) for a, b in zip(df["key_a"], df["key_b"])}
+        planted = {(i, 1000 + i) for i in range(n_dups)}
+        return len(found & planted) / n_dups
+
+    def test_probes_raise_recall_at_one_table(self, ray_session):
+        from engine.dedup import embedding_near_duplicates
+        ds, n_dups = self._planted()
+        r0 = self._recall(embedding_near_duplicates(
+            ds, dim=32, n_tables=1, n_probes=0, threshold=0.9), n_dups)
+        r2 = self._recall(embedding_near_duplicates(
+            ds, dim=32, n_tables=1, n_probes=2, threshold=0.9), n_dups)
+        assert r2 >= r0
+        assert r2 > 0.5  # multiprobe at one table finds most planted pairs
+
+    def test_default_still_finds_identical(self, ray_session):
+        import ray.data
+        from engine.dedup import embedding_near_duplicates
+        rng = np.random.default_rng(9)
+        vecs = rng.standard_normal((60, 16))
+        vecs[30:] = vecs[:30]  # exact copies
+        ids = list(range(30)) + [500 + i for i in range(30)]
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))}))
+        out = embedding_near_duplicates(ds, dim=16, threshold=0.999)
+        df = out.to_pandas()
+        found = {(a, b) for a, b in zip(df["key_a"], df["key_b"])}
+        assert {(i, 500 + i) for i in range(30)} <= found
