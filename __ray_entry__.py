@@ -475,6 +475,16 @@ def _q_events_props_validation(sf_dir: str):
                                "instance_path"])
 
 
+def _q_q3(sf_dir: str):
+    from engine.relational import q3_shipping_priority
+    return q3_shipping_priority(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice",
+                                           "l_discount", "l_shipdate"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                         "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
+
+
 def _q_streaming_windows(sf_dir: str):
     """Micro-batch streaming windows: the events table replayed as three
     time-ordered micro-batches through the watermark operator; with in-order
@@ -562,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         # relational
         "q1_pricing_summary": _q_q1,
+        "q3_shipping_priority": _q_q3,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_per_user_hour": _q_events_window,
         "sessionize_events": _q_sessionize,
@@ -763,6 +774,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 4) as avg_qty,
                    count(*) as count_order
             from lineitem group by l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            with r as (
+              select l.l_orderkey, o.o_orderdate,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                         as revenue
+              from customer c
+              join orders o on c.c_custkey = o.o_custkey
+              join lineitem l on l.l_orderkey = o.o_orderkey
+              where c.c_mktsegment = 'BUILDING'
+                and o.o_orderdate < timestamp '1998-06-01'
+                and l.l_shipdate > timestamp '1998-06-01'
+              group by 1, 2)
+            select l_orderkey, o_orderdate, revenue from r
+            order by revenue desc, o_orderdate, l_orderkey limit 10
         """,
         "revenue_by_segment": """
             select c_mktsegment, round(sum(o_totalprice), 4) as revenue,

@@ -211,3 +211,95 @@ def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
     out = agg.map_batches(_final, batch_format="pyarrow")
     return out.sort(["n_events", "event_type"],
                     descending=[True, False]).limit(k)
+
+
+def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10,
+                         batch_size: int = 65536, concurrency=None):
+    """TPC-H Q3 shape: top-k orders by revenue for one market segment.
+
+    Scale shape — one broadcast semi-join + ONE data-data hash join:
+
+    1. segment customers -> broadcast key array (the dimension is small;
+       ``np.isin`` per batch) filters orders map-only, with the date filter
+       fused into the same pass; only (o_orderkey, o_orderdate) survive;
+    2. lineitem is filtered + pre-aggregated per l_orderkey INSIDE
+       ``map_batches`` (combiner), so the hash join moves one partial
+       revenue row per (orderkey x batch), never raw lineitem rows;
+    3. ``Dataset.join`` on orderkey (partitions track cluster CPUs);
+    4. final (orderkey, orderdate) groupby-sum is over joined partials;
+       top-k via sort + limit on the aggregated (bounded) rows.
+    """
+    import ray
+
+    cutoff64 = np.datetime64(cutoff, "us")
+
+    cust = customer_ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment))
+        .select(["c_custkey"]), batch_format="pyarrow")
+    keys = np.unique(cust.to_pandas()["c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def _orders(b: pa.Table) -> pa.Table:
+        side = ray.get(keys_ref)
+        od = pc.cast(b.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        mask = (od < cutoff64) & np.isin(ck, side)
+        sub = b.filter(pa.array(mask))
+        return pa.table({"o_orderkey": sub.column("o_orderkey"),
+                         "o_orderdate": pc.cast(sub.column("o_orderdate"),
+                                                pa.timestamp("us"))})
+
+    orders = orders_ds.map_batches(_orders, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=batch_size,
+                                   concurrency=concurrency)
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        sd = pc.cast(b.column("l_shipdate"), pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array(sd > cutoff64))
+        rev = (sub.column("l_extendedprice").to_numpy(zero_copy_only=False)
+               * (1.0 - sub.column("l_discount").to_numpy(
+                   zero_copy_only=False)))
+        df = pd.DataFrame({
+            "o_orderkey": sub.column("l_orderkey").to_numpy(
+                zero_copy_only=False),
+            "rev": rev}).groupby("o_orderkey", sort=False).sum(
+        ).reset_index()
+        return pa.table({"o_orderkey": pa.array(df["o_orderkey"]),
+                         "rev": pa.array(df["rev"], pa.float64())})
+
+    li = lineitem_ds.map_batches(_li_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=batch_size,
+                                 concurrency=concurrency)
+
+    from engine.shuffle import join_partitions
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(), on=("o_orderkey",))
+
+    from ray.data.aggregate import Sum
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(Sum("rev"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "revenue": pa.array([], pa.float64())})
+        rev = b.column("sum(rev)").to_numpy(zero_copy_only=False)
+        rev = np.sign(rev) * np.floor(np.abs(rev) * 1e4 + 0.5) / 1e4
+        return pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "o_orderdate": pc.cast(b.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "revenue": pa.array(rev, pa.float64())})
+
+    out = agg.map_batches(_final, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)

@@ -70,7 +70,7 @@ def test_all_queries_have_unique_names(contract):
     "sessionize_events",
     "sample_fraction",
     "events_props_validation", "embedding_near_dup", "jaccard_verify",
-    "language_id", "streaming_windows",
+    "language_id", "streaming_windows", "q3_shipping_priority",
 ])
 def test_sql_checked_query(contract, con, name):
     qs = contract.queries()
