@@ -691,7 +691,8 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
 
 def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
                               key_col: str = "vec_id", dim: int = 64,
-                              n_planes: int = 12, n_tables: int = 3,
+                              n_planes: Optional[int] = None,
+                              n_tables: int = 3,
                               n_probes: int = 1,
                               threshold: float = 0.95,
                               seed: int = 13, batch_size: int = 8192,
@@ -713,6 +714,15 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     import pandas as pd
     import ray
 
+    if n_planes is None:
+        # bucket space must OUTGROW the corpus or every bucket goes hot and
+        # organic sign-collisions flood the pair stage (the simhash
+        # saturation failure mode, measured 43s -> 7s at sf0.1): planes ~
+        # log2(n) + 4 + probes keeps expected occupancy ~1/16 per lane
+        # while identical/near-identical vectors still collide by
+        # construction; pass n_planes explicitly to trade recall/width
+        n_vecs = max(int(ds.count()), 2)
+        n_planes = max(12, int(np.ceil(np.log2(n_vecs))) + 4 + n_probes)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, dim, n_planes))
 

@@ -428,9 +428,11 @@ class TestMultiProbeLsh:
         from engine.dedup import embedding_near_duplicates
         ds, n_dups = self._planted()
         r0 = self._recall(embedding_near_duplicates(
-            ds, dim=32, n_tables=1, n_probes=0, threshold=0.9), n_dups)
+            ds, dim=32, n_planes=12, n_tables=1, n_probes=0,
+            threshold=0.9), n_dups)
         r2 = self._recall(embedding_near_duplicates(
-            ds, dim=32, n_tables=1, n_probes=2, threshold=0.9), n_dups)
+            ds, dim=32, n_planes=12, n_tables=1, n_probes=2,
+            threshold=0.9), n_dups)
         assert r2 >= r0
         assert r2 > 0.5  # multiprobe at one table finds most planted pairs
 
