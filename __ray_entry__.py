@@ -495,9 +495,11 @@ def _q_streaming_windows(sf_dir: str):
     from engine.streaming import flush, process_micro_batch
 
     import pandas as pd
+    from ray.data.aggregate import Max, Min
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    lo = pd.Timestamp(ev.min("ts"))
-    hi = pd.Timestamp(ev.max("ts"))
+    bounds = ev.aggregate(Min("ts"), Max("ts"))
+    lo = pd.Timestamp(bounds["min(ts)"])
+    hi = pd.Timestamp(bounds["max(ts)"])
     cuts = [pa.scalar((lo + (hi - lo) * i / 3).to_datetime64(),
                       pa.timestamp("us")) for i in (1, 2)]
     sd = tempfile.mkdtemp(prefix="stream_state_")
