@@ -210,6 +210,25 @@ def cmd_stream_window(args) -> int:
     return 0
 
 
+def cmd_drift_batch(args) -> int:
+    """Incremental drift: check one micro-batch against the persistent
+    baseline sketch store (seeds it on first run), print verdicts +
+    summary JSON."""
+    _ray_init(args.num_cpus)
+    import ray.data
+    from engine.drift import drift_micro_batch
+    ds = ray.data.read_parquet(args.input)
+    numeric = tuple(args.numeric.split(",")) if args.numeric else ()
+    categorical = tuple(args.categorical.split(","))         if args.categorical else ()
+    verdicts, summary = drift_micro_batch(
+        ds, args.state, numeric=numeric, categorical=categorical,
+        update_baseline=args.update_baseline)
+    for row in verdicts.to_pylist():
+        print(json.dumps(row))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_stats(args) -> int:
     _ray_init(args.num_cpus)
     import ray.data
@@ -287,6 +306,18 @@ def main(argv=None) -> int:
     p.add_argument("--value-col", default="value")
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_stream_window)
+
+    p = sub.add_parser("drift-batch",
+                       help="incremental drift of one micro-batch vs the "
+                            "persistent baseline sketch store")
+    p.add_argument("--input", required=True)
+    p.add_argument("--state", required=True)
+    p.add_argument("--numeric", default="n_chars")
+    p.add_argument("--categorical", default="lang")
+    p.add_argument("--update-baseline", default="if_clean",
+                   choices=["if_clean", "always", "never"])
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_drift_batch)
 
     p = sub.add_parser("stats", help="per-column stats")
     p.add_argument("--input", required=True)

@@ -193,3 +193,25 @@ class TestIncrementalDrift:
         drift_micro_batch(self._docs(seed=4), sd, **kw)
         final = load_baseline(os.path.join(sd, "drift_baseline.parquet"))
         assert final["n_chars"][1].total > base_n
+
+
+def test_cli_drift_batch(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+    state = str(tmp_path / "dstate")
+    cmd = [sys.executable, "-m", "engine.cli", "drift-batch",
+           "--input", "/root/testdata/sf0.001/documents.parquet",
+           "--state", state, "--num-cpus", "2"]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-800:]
+    assert _json.loads(r.stdout.strip().splitlines()[-1])["seeded"]
+    r2 = subprocess.run(cmd, capture_output=True, text=True,
+                        cwd="/root/repo")
+    lines = r2.stdout.strip().splitlines()
+    summary = _json.loads(lines[-1])
+    assert not summary["seeded"] and summary["version"] == 2
+    verdicts = [_json.loads(x) for x in lines[:-1] if x.startswith("{")]
+    assert {v["column"] for v in verdicts} >= {"n_chars", "lang"}
+    assert not any(v["drifted"] for v in verdicts)  # same data, no drift
