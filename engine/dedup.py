@@ -249,7 +249,9 @@ def _add_bkey(cols: list[str]):
 
 
 def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
-                     broadcast_limit: int = 5_000_000):
+                     broadcast_limit: int = 5_000_000,
+                     n_rows_hint: Optional[int] = None,
+                     pin_rows_limit: int = 20_000_000):
     """Rows of an LSH-banded dataset whose bucket has 2..max members.
 
     Nothing unbounded touches the driver and the banded dataset is never
@@ -276,6 +278,13 @@ def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
     from engine.shuffle import balance, join_partitions
 
     keyed = banded.map_batches(_add_bkey(cols), batch_format="pyarrow")
+    # size-gated pin (broadcast-vs-shuffle-join style selection): when the
+    # caller KNOWS the banded row count and it is small, pinning the light
+    # rows skips the deterministic re-banding pass; above the limit — or
+    # when the count is unknown — the recompute path is the scale default
+    # (a pinned banded set at 10^12 docs would hold ~16x corpus rows)
+    if n_rows_hint is not None and n_rows_hint <= pin_rows_limit:
+        keyed = keyed.materialize()
     counts = balance(keyed.select_columns(["bkey"])).groupby("bkey").count()
 
     def _hot_only(b: pa.Table) -> pa.Table:
@@ -481,8 +490,15 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
         _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
+    # parquet-backed inputs answer count() from metadata; the hint gates
+    # the light-row pin inside the semi-join (scale default: recompute)
+    try:
+        hint = ds.count() * bands
+    except Exception:  # pragma: no cover
+        hint = None
     cand = _hot_bucket_join(banded, ["band", "band_hash"],
-                            max_bucket_size=max_bucket_size)
+                            max_bucket_size=max_bucket_size,
+                            n_rows_hint=hint)
     pairs = cand.groupby("bkey").map_groups(
         _bucket_key_pairs, batch_format="pandas")
     # a pair can surface from several bands: keep one copy; the pair set is
@@ -589,7 +605,12 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
     chunked = ds.map_batches(_chunks, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size,
                              concurrency=concurrency)
-    cand = _hot_bucket_join(chunked, ["chunk", "chunk_val"])
+    try:
+        hint = ds.count() * 4
+    except Exception:  # pragma: no cover
+        hint = None
+    cand = _hot_bucket_join(chunked, ["chunk", "chunk_val"],
+                            n_rows_hint=hint)
     pairs = cand.groupby("bkey").map_groups(
         _pairs, batch_format="pandas")
     from ray.data.aggregate import Min
@@ -762,7 +783,12 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size,
                               concurrency=concurrency)
-    cand = _hot_bucket_join(bucketed, ["table", "bucket"])
+    try:
+        hint = ds.count() * n_tables * (1 + n_probes)
+    except Exception:  # pragma: no cover
+        hint = None
+    cand = _hot_bucket_join(bucketed, ["table", "bucket"],
+                            n_rows_hint=hint)
     pairs = cand.groupby("bkey").map_groups(
         _bucket_key_pairs, batch_format="pandas")
     # sparse pair set: the only materialized intermediate (see minhash)
