@@ -485,6 +485,30 @@ def _q_q3(sf_dir: str):
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]))
 
 
+#: Second documents schema for the one-pass multi-schema query: stricter
+#: bounds so its violation set differs from DOCS_SCHEMA_JSON.
+DOCS_SCHEMA_STRICT_JSON = """
+{"type": "object",
+ "required": ["doc_id", "text"],
+ "properties": {
+   "text":   {"type": "string", "minLength": 20},
+   "n_chars": {"type": "integer", "maximum": 200}}}
+"""
+
+
+def _q_multi_validate(sf_dir: str):
+    """C1's dataset face: N schemas validated in ONE corpus pass
+    (MultiValidateBatch), violations tagged with schema_name — one scan
+    replaces N at 100 TB."""
+    from engine.dataset import validate_dataset_multi
+    v = validate_dataset_multi(
+        _docs(sf_dir),
+        {"base": DOCS_SCHEMA_JSON, "strict": DOCS_SCHEMA_STRICT_JSON},
+        key_column="doc_id")
+    return v.select_columns(["schema_name", "doc_id", "error_kind",
+                             "instance_path"])
+
+
 def _q_streaming_windows(sf_dir: str):
     """Micro-batch streaming windows: the events table replayed as three
     time-ordered micro-batches through the watermark operator; with in-order
@@ -549,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyword validation over real typed tables (SQL-checked)
         "validate_documents": _q_validate_documents,
         "validate_embeddings": _q_validate_embeddings,
+        "multi_validate_documents": _q_multi_validate,
         # corpus-level checks
         "stats_documents": _q_stats_documents,
         "duplicate_keys_lineitem": _q_duplicate_keys_lineitem,
@@ -663,6 +688,56 @@ def oracle_sql() -> dict[str, str]:
             select vec_id, 'BelowMinimum', '/label' from e where label < 0
             union all
             select vec_id, 'AboveMaximum', '/label' from e where label > 8
+        """,
+        "multi_validate_documents": """
+            with d as (select * from documents),
+            base as (
+              select doc_id, 'MissingRequired' as error_kind,
+                     '/text' as instance_path from d where text is null
+              union all
+              select doc_id, 'MissingRequired', '/lang' from d
+              where lang is null
+              union all
+              select doc_id, 'MissingRequired', '/source' from d
+              where source is null
+              union all
+              select doc_id, 'MissingRequired', '/n_chars' from d
+              where n_chars is null
+              union all
+              select doc_id, 'BelowMinimum', '/doc_id' from d
+              where doc_id < 0
+              union all
+              select doc_id, 'TooShort', '/text' from d
+              where text is not null and length(text) < 1
+              union all
+              select doc_id, 'TooLong', '/text' from d
+              where text is not null and length(text) > 400
+              union all
+              select doc_id, 'NotInEnum', '/lang' from d
+              where lang is not null
+                and lang not in ('en', 'de', 'fr', 'es')
+              union all
+              select doc_id, 'PatternMismatch', '/source' from d
+              where source is not null
+                and not regexp_matches(source, '^src[0-9]$')
+              union all
+              select doc_id, 'BelowMinimum', '/n_chars' from d
+              where n_chars < 0
+              union all
+              select doc_id, 'AboveMaximum', '/n_chars' from d
+              where n_chars > 500),
+            strict as (
+              select doc_id, 'MissingRequired' as error_kind,
+                     '/text' as instance_path from d where text is null
+              union all
+              select doc_id, 'TooShort', '/text' from d
+              where text is not null and length(text) < 20
+              union all
+              select doc_id, 'AboveMaximum', '/n_chars' from d
+              where n_chars > 200)
+            select 'base' as schema_name, * from base
+            union all
+            select 'strict', * from strict
         """,
         "stats_documents": """
             with d as (select * from documents),
