@@ -230,6 +230,8 @@ def _run_global_checks(corpus_dir: str, out_dir: str,
                        "started_at": started, "finished_at": time.time()}, f)
         summary[name] = "done"
 
+    from engine.stats import column_stats
+    _step("stats", lambda: column_stats(ds))
     _step("uniqueness", lambda: duplicate_keys(ds, "doc_id"))
     if catalog_path:
         # exact membership set (media catalogs here are broadcastable);
