@@ -436,3 +436,32 @@ def arrow_schema_to_json_schema(schema: pa.Schema) -> dict:
         out["required"] = req
     out.update(_metadata_docs(schema.metadata))
     return out
+
+
+def merge_nested_defs_into_root(schema: Schema,
+                                root_defs: dict[str, Schema]) -> Schema:
+    """Flatten nested ``$defs`` maps into one root-level defs dict
+    (reference ``reverse_code_gen/mod.rs:160-200``): explicit stack, no
+    recursion; on name collision the FIRST definition wins (``or_insert``);
+    returns the schema with ``defs`` cleared. ``$ref`` values already point
+    at ``#/$defs/Name`` and resolve against the root afterwards. The input
+    schema object is not mutated (nodes are shallow-copied as stripped).
+    """
+    import dataclasses
+
+    stack: list[tuple[Optional[str], Schema]] = [(None, schema)]
+    result: Optional[Schema] = None
+    while stack:
+        key_opt, s = stack.pop()
+        if s.defs:
+            defs = s.defs
+            s = dataclasses.replace(s, defs=None)
+            stack.append((key_opt, s))
+            for k in sorted(defs, reverse=True):
+                stack.append((k, defs[k]))
+        elif key_opt is not None:
+            root_defs.setdefault(key_opt, s)
+        else:
+            result = s
+    assert result is not None
+    return result

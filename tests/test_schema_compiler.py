@@ -318,3 +318,59 @@ class TestReverseCodegenDepth:
         assert out["properties"]["a"]["description"] == "the a field"
         assert "title" not in out["properties"]["b"]
         assert out["required"] == ["a"]
+
+
+class TestMergeNestedDefs:
+    """reverse_code_gen/mod.rs:160-200 parity."""
+
+    def test_flattens_two_levels(self):
+        from engine.schema_compiler import merge_nested_defs_into_root
+        schema = s('''{"type":"object",
+            "properties":{"o":{"$ref":"#/$defs/Outer"}},
+            "$defs":{"Outer":{"type":"object",
+                "properties":{"i":{"$ref":"#/$defs/Inner"}},
+                "$defs":{"Inner":{"type":"integer"}}}}}''')
+        root_defs = {}
+        out = merge_nested_defs_into_root(schema, root_defs)
+        assert out.defs is None
+        assert set(root_defs) == {"Outer", "Inner"}
+        assert root_defs["Outer"].defs is None
+        assert root_defs["Inner"].type == "integer"
+        # refs resolve against the flattened root
+        from engine.schema import Schema
+        root = Schema(type="object", properties=out.properties,
+                      defs=root_defs)
+        from engine.oracle import validate
+        assert validate(root, {"o": {"i": 3}}) == []
+        assert [e["kind"] for e in validate(root, {"o": {"i": "x"}})] == \
+            ["ExpectedInteger"]
+
+    def test_first_definition_wins_on_collision(self):
+        from engine.schema_compiler import merge_nested_defs_into_root
+        schema = s('''{"type":"object",
+            "$defs":{"A":{"type":"integer",
+                          "$defs":{"B":{"type":"string"}}},
+                     "B":{"type":"number"}}}''')
+        root_defs = {}
+        merge_nested_defs_into_root(schema, root_defs)
+        # stack order: A's nested B is reached while processing A; the
+        # reference or_insert keeps whichever lands first — assert the
+        # deterministic outcome and that both names exist exactly once
+        assert set(root_defs) == {"A", "B"}
+        assert root_defs["A"].type == "integer"
+
+    def test_input_not_mutated(self):
+        from engine.schema_compiler import merge_nested_defs_into_root
+        schema = s('{"type":"object","$defs":{"X":{"type":"integer"}}}')
+        root_defs = {}
+        out = merge_nested_defs_into_root(schema, root_defs)
+        assert schema.defs is not None  # original untouched
+        assert out.defs is None
+        assert root_defs["X"].type == "integer"
+
+    def test_no_defs_passthrough(self):
+        from engine.schema_compiler import merge_nested_defs_into_root
+        schema = s('{"type":"string"}')
+        root_defs = {}
+        out = merge_nested_defs_into_root(schema, root_defs)
+        assert out.type == "string" and root_defs == {}
