@@ -392,6 +392,12 @@ def arrow_type_to_json_schema(t: pa.DataType) -> dict:
             or pa.types.is_fixed_size_list(t)):
         return {"type": "array",
                 "items": arrow_type_to_json_schema(t.value_type)}
+    if pa.types.is_map(t):
+        # map<string, V> -> object with additionalProperties: schema(V)
+        # (reference BTreeMap impl, reverse_code_gen/mod.rs:143-152)
+        return {"type": "object",
+                "additionalProperties": arrow_type_to_json_schema(
+                    t.item_type)}
     if pa.types.is_integer(t):
         out = {"type": "integer"}
         bounds = _INT_BOUNDS.get(t)
@@ -399,7 +405,14 @@ def arrow_type_to_json_schema(t: pa.DataType) -> dict:
             out["minimum"], out["maximum"] = bounds
         return out
     if pa.types.is_floating(t):
-        return {"type": "number"}
+        # float widths carry their representable range as bounds
+        # (reverse_code_gen/mod.rs:104-114); the f32 bounds round-trip
+        # through narrow_numeric_type back to float32
+        if t == pa.float32():
+            return {"type": "number", "minimum": -F32_MAX,
+                    "maximum": F32_MAX}
+        return {"type": "number", "minimum": -1.7976931348623157e308,
+                "maximum": 1.7976931348623157e308}
     if pa.types.is_boolean(t):
         return {"type": "boolean"}
     return {"type": "string"}

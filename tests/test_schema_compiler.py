@@ -170,7 +170,8 @@ class TestReverse:
         assert j["required"] == ["id"]
         assert j["properties"]["id"] == {
             "type": "integer", "minimum": -(2**31), "maximum": 2**31 - 1}
-        assert j["properties"]["vals"]["items"] == {"type": "number"}
+        assert j["properties"]["vals"]["items"]["type"] == "number"
+        assert j["properties"]["vals"]["items"]["maximum"] > 1e300
         assert j["properties"]["meta"]["properties"]["k"]["maximum"] == 255
         # inferred schema parses and validates matching data
         sch = parse_schema(j)
@@ -374,3 +375,26 @@ class TestMergeNestedDefs:
         root_defs = {}
         out = merge_nested_defs_into_root(schema, root_defs)
         assert out.type == "string" and root_defs == {}
+
+
+class TestReverseFloatAndMap:
+    def test_float_bounds_round_trip(self):
+        import pyarrow as pa
+        from engine.schema import parse_schema
+        from engine.schema_compiler import (arrow_type_to_json_schema,
+                                            narrow_numeric_type)
+        f32 = arrow_type_to_json_schema(pa.float32())
+        assert narrow_numeric_type(parse_schema(json.dumps(f32))) \
+            == pa.float32()
+        f64 = arrow_type_to_json_schema(pa.float64())
+        assert narrow_numeric_type(parse_schema(json.dumps(f64))) \
+            == pa.float64()
+
+    def test_map_to_additional_properties_schema(self):
+        import pyarrow as pa
+        from engine.schema_compiler import arrow_type_to_json_schema
+        t = pa.map_(pa.string(), pa.int32())
+        out = arrow_type_to_json_schema(t)
+        assert out["type"] == "object"
+        assert out["additionalProperties"]["type"] == "integer"
+        assert out["additionalProperties"]["maximum"] == 2**31 - 1
