@@ -389,6 +389,16 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, cb, k=5, nprobe=4)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """SpaceSaving heavy-hitter tokens, shuffle-free. The documents
+    vocabulary is far below the sketch capacity, so no counter is ever
+    evicted and the sketch is EXACT — making the exhaustive SQL top-k a
+    valid hash oracle (max_error provably 0)."""
+    from engine.textstats import heavy_hitter_tokens
+    return heavy_hitter_tokens(_docs(sf_dir, columns=["doc_id", "text"]),
+                               k=20, capacity=4096)
+
+
 def _q_langid(sf_dir: str):
     """Marker-word language id; both sides count matches with RE2 (pyarrow
     count_substring_regex here, DuckDB regexp_extract_all in the oracle), so
@@ -581,6 +591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_lineitem_part": _q_referential_lineitem_part,
         "anti_join_orders_restricted": _q_anti_join_orders,
         "token_doc_frequency": _q_token_doc_frequency,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -790,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
                   from documents)
             where token <> ''
             group by token
+        """,
+        "heavy_hitter_tokens": r"""
+            select token, count(*)::bigint as est_count,
+                   0::bigint as max_error
+            from (select unnest(regexp_extract_all(coalesce(text, ''),
+                                                   '\S+')) as token
+                  from documents)
+            group by token
+            order by est_count desc, token
+            limit 20
         """,
         "dedup_exact": """
             select md5(coalesce(text, '')) as text_hash,

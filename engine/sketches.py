@@ -250,3 +250,78 @@ class Bloom:
         n_bits, k = struct.unpack_from("<qi", b, 0)
         off = struct.calcsize("<qi")
         return cls(n_bits, k, np.frombuffer(b[off:], dtype=np.uint64).copy())
+
+
+class SpaceSaving:
+    """Misra-Gries / SpaceSaving heavy-hitters sketch (Metwally et al.,
+    ICDT'05 — public algorithm): tracks at most ``capacity`` counters;
+    guarantees every item with true frequency > N / capacity is present,
+    and each reported count overestimates the true count by at most the
+    counter's ``error`` field. MERGEABLE (Agarwal et al. mergeable
+    summaries): merging sums matching counters, inherits max error for
+    survivors — so per-batch partials combine without a shuffle.
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.errors: dict = {}
+
+    def update(self, values, counts=None) -> "SpaceSaving":
+        if counts is None:
+            import collections
+            items = collections.Counter(values).items()
+        else:
+            items = zip(values, counts)
+        for v, c in items:
+            c = int(c)
+            if v in self.counts:
+                self.counts[v] += c
+            elif len(self.counts) < self.capacity:
+                self.counts[v] = c
+                self.errors[v] = 0
+            else:
+                mv = min(self.counts, key=self.counts.get)
+                mc = self.counts.pop(mv)
+                me = self.errors.pop(mv)
+                self.counts[v] = mc + c
+                self.errors[v] = mc  # may overcount by the evicted count
+                del me
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        for v, c in other.counts.items():
+            e = other.errors[v]
+            if v in self.counts:
+                self.counts[v] += c
+                self.errors[v] += e
+            elif len(self.counts) < self.capacity:
+                self.counts[v] = c
+                self.errors[v] = e
+            else:
+                mv = min(self.counts, key=self.counts.get)
+                mc = self.counts.pop(mv)
+                self.errors.pop(mv)
+                self.counts[v] = mc + c
+                self.errors[v] = mc + e
+        return self
+
+    def top(self, k: int) -> list:
+        """[(value, est_count, max_error)] by est desc, value asc."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(v, c, self.errors[v]) for v, c in items[:k]]
+
+    def to_bytes(self) -> bytes:
+        import json as _json
+        return _json.dumps({"capacity": self.capacity,
+                            "counts": list(self.counts.items()),
+                            "errors": list(self.errors.items())}).encode()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "SpaceSaving":
+        import json as _json
+        d = _json.loads(b.decode())
+        out = cls(d["capacity"])
+        out.counts = dict((k, v) for k, v in d["counts"])
+        out.errors = dict((k, v) for k, v in d["errors"])
+        return out

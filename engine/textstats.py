@@ -241,3 +241,41 @@ def fingerprints(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def heavy_hitter_tokens(ds, *, text_col: str = "text", k: int = 20,
+                        capacity: int = 512, batch_size: int = 8192,
+                        concurrency=None):
+    """Approximate top-k tokens by frequency WITHOUT a shuffle: per-batch
+    SpaceSaving sketches (engine/sketches.py) are OR-merged like the Bloom
+    and HLL partials — at 100 TB the only data movement is one
+    ``capacity``-counter summary per batch. Guarantee: any token with true
+    frequency > N/capacity appears; est counts overestimate by at most the
+    reported ``max_error``. Exact ``token_doc_frequency`` is the shuffle
+    path when exactness is required.
+
+    Returns a pa.Table (token, est_count, max_error) of the global top-k.
+    """
+    from engine.sketches import SpaceSaving
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ss = SpaceSaving(capacity)
+        texts = batch.column(text_col).to_pylist()
+        toks: list = []
+        for t in texts:
+            toks.extend((t or "").split())
+        ss.update(toks)
+        return pa.table({"sketch": pa.array([ss.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size,
+                           concurrency=concurrency)
+    merged = SpaceSaving(capacity)
+    for row in parts.iter_rows():
+        merged.merge(SpaceSaving.from_bytes(row["sketch"]))
+    rows = merged.top(k)
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "est_count": pa.array([r[1] for r in rows], pa.int64()),
+        "max_error": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -71,7 +71,7 @@ def test_all_queries_have_unique_names(contract):
     "sample_fraction",
     "events_props_validation", "embedding_near_dup", "jaccard_verify",
     "language_id", "streaming_windows", "q3_shipping_priority",
-    "multi_validate_documents",
+    "multi_validate_documents", "heavy_hitter_tokens",
 ])
 def test_sql_checked_query(contract, con, name):
     qs = contract.queries()

@@ -451,3 +451,50 @@ class TestMultiProbeLsh:
         df = out.to_pandas()
         found = {(a, b) for a, b in zip(df["key_a"], df["key_b"])}
         assert {(i, 500 + i) for i in range(30)} <= found
+
+
+class TestHeavyHitters:
+    def test_sketch_guarantees_vs_exact(self, ray_session):
+        import collections
+        import ray.data
+        from engine.textstats import heavy_hitter_tokens
+        rng = np.random.default_rng(6)
+        vocab = [f"tok{i}" for i in range(400)]
+        weights = np.array([1.0 / (i + 1) for i in range(400)])  # zipf-ish
+        weights /= weights.sum()
+        texts, exact = [], collections.Counter()
+        for _ in range(300):
+            words = rng.choice(vocab, size=40, p=weights)
+            exact.update(words.tolist())
+            texts.append(" ".join(words))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        out = heavy_hitter_tokens(ds, k=10, capacity=256).to_pandas()
+        n_total = sum(exact.values())
+        got = dict(zip(out["token"], out["est_count"]))
+        # guarantee: every token above N/capacity must surface in the sketch
+        # (check via a larger top pull)
+        big = heavy_hitter_tokens(ds, k=256, capacity=256).to_pandas()
+        surfaced = set(big["token"])
+        for tok, cnt in exact.items():
+            if cnt > n_total / 256:
+                assert tok in surfaced, (tok, cnt)
+        # est >= true for present tokens; error bound honored
+        err = dict(zip(out["token"], out["max_error"]))
+        for tok, est in got.items():
+            assert est >= exact[tok]
+            assert est - exact[tok] <= err[tok]
+        # the true #1 token is ranked #1
+        true_top = exact.most_common(1)[0][0]
+        assert out["token"][0] == true_top
+
+    def test_merge_associativity(self):
+        from engine.sketches import SpaceSaving
+        a = SpaceSaving(8).update(["x"] * 5 + ["y"] * 3 + ["z"])
+        b = SpaceSaving(8).update(["x"] * 2 + ["w"] * 4)
+        m = SpaceSaving(8).merge(a).merge(b)
+        assert m.counts["x"] == 7
+        assert m.counts["w"] == 4
+        rt = SpaceSaving.from_bytes(m.to_bytes())
+        assert rt.counts == m.counts and rt.errors == m.errors
