@@ -527,19 +527,33 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
 
 
 def simhash_batch(texts: list, shingle_n: int = 2) -> np.ndarray:
-    """64-bit simhash per text (sign of token-hash bit-vote sums)."""
+    """64-bit simhash per text (sign of token-hash bit-vote sums).
+
+    Bit votes via ``np.unpackbits`` on the little-endian byte view (one C
+    pass) instead of a 64-wide shift matrix; a bit is set when strictly
+    more than half the token hashes have it set — identical fingerprints
+    to the ±1-sum formulation, ~4x faster.
+    """
     h, counts = _doc_shingle_hashes(texts, shingle_n)
     n = len(texts)
     out = np.zeros(n, dtype=np.uint64)
     if len(h) == 0:
         return out
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int32) * 2 - 1  # (tokens, 64) in {-1,1}
+    # (tokens, 64) 0/1; little-endian uint64 -> byte 0 is LSB, and
+    # bitorder="little" makes column b == bit b of the hash
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    # segment sums via contiguous per-bit cumsum + boundary differences —
+    # ~20x a 2D reduceat / axis-0 cumsum, whose strided passes dominate
+    bits_t = np.ascontiguousarray(bits.T)  # (64, tokens), rows contiguous
+    csum = np.zeros((64, len(h) + 1), dtype=np.int32)
+    np.cumsum(bits_t, axis=1, dtype=np.int32, out=csum[:, 1:])
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     nonempty = counts > 0
-    sums = np.add.reduceat(bits, starts[nonempty], axis=0)
-    fp = (sums > 0).astype(np.uint64)
-    vals = np.zeros(len(sums), dtype=np.uint64)
+    ends = starts + counts
+    ones = (csum[:, ends[nonempty]] - csum[:, starts[nonempty]]).T
+    fp = (2 * ones > counts[nonempty][:, None]).astype(np.uint64)
+    vals = np.zeros(len(ones), dtype=np.uint64)
     for b in range(64):
         vals |= fp[:, b] << np.uint64(b)
     out[nonempty] = vals
