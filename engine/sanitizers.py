@@ -31,9 +31,11 @@ def _replace_non_ascii(s: str) -> str:
 
 
 def _split_words(s: str) -> list[str]:
-    """heck-style word split: separators ``_-<space>``, boundaries at
-    lower/digit->upper and before the last upper of an acronym run."""
-    parts = re.split(r"[_\-\s]+", s)
+    """heck-style word split: EVERY non-alphanumeric char is a separator
+    (heck drops punctuation — ``":a"`` pascal-cases to ``"A"``), plus
+    boundaries at lower/digit->upper and before the last upper of an
+    acronym run."""
+    parts = re.split(r"[^A-Za-z0-9]+", s)
     words: list[str] = []
     for part in parts:
         if not part:
