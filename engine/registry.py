@@ -71,6 +71,10 @@ _REGISTRY: dict[str, CheckSpec] = {}
 def register_check(spec: CheckSpec) -> None:
     if spec.keyword in _REGISTRY:
         raise ValueError(f"keyword already registered: {spec.keyword}")
+    from engine.schema import KNOWN_KEYS  # lazy: schema imports registry
+    if spec.keyword in KNOWN_KEYS:
+        raise ValueError(
+            f"keyword {spec.keyword!r} shadows a built-in schema keyword")
     _REGISTRY[spec.keyword] = spec
 
 
@@ -88,10 +92,15 @@ def registered_keywords() -> frozenset:
 
 def checks_for(schema_custom: dict, type_: str | None):
     """(spec, state) pairs applicable under a type arm, in lexicographic
-    keyword order — THE shared iteration order for oracle and kernels."""
+    keyword order — THE shared iteration order for oracle and kernels.
+
+    ``schema_custom`` maps keyword -> (CheckSpec, compiled_state), resolved
+    at parse time (engine/schema.py) so validation never consults the
+    process-local registry — a pickled Schema evaluates identically in a
+    Ray worker where ``_REGISTRY`` is empty."""
     out = []
     for kw in sorted(schema_custom):
-        spec = _REGISTRY.get(kw)
-        if spec is not None and type_ in spec.types:
-            out.append((spec, schema_custom[kw]))
+        spec, state = schema_custom[kw]
+        if type_ in spec.types:
+            out.append((spec, state))
     return out

@@ -90,8 +90,11 @@ class Schema:
     all_of: Optional[list["Schema"]] = None
     any_of: Optional[list["Schema"]] = None
     one_of: Optional[list["Schema"]] = None
-    #: compiled states of registry-registered custom keywords
-    #: (engine/registry.py); empty unless third-party checks are registered
+    #: registry-registered custom keywords, resolved AT PARSE TIME to
+    #: ``{keyword: (CheckSpec, compiled_state)}`` so a pickled Schema
+    #: carries its checks into Ray worker processes where the process-local
+    #: registry is empty (engine/registry.py); empty unless third-party
+    #: checks are registered
     custom: dict[str, Any] = field(default_factory=dict)
 
     def sorted_properties(self) -> list[tuple[str, "Schema"]]:
@@ -144,7 +147,8 @@ def _parse_node(v: Any, strict: bool) -> Schema:
     for key, val in v.items():
         if key in registered:
             try:
-                s.custom[key] = get_check(key).compile(val)
+                spec = get_check(key)
+                s.custom[key] = (spec, spec.compile(val))
             except SchemaParseError:
                 raise
             except Exception as e:  # noqa: BLE001 - schema error surface

@@ -60,7 +60,8 @@ class TestRegistryParse:
     def test_registered_keyword_parses_strict(self):
         with registered(_multiple_of_spec()):
             s = parse_schema(SCHEMA, strict=True)
-            assert s.properties["n"].custom == {"multipleOf": 3.0}
+            spec, state = s.properties["n"].custom["multipleOf"]
+            assert spec.keyword == "multipleOf" and state == 3.0
 
     def test_unregistered_keyword_rejected_strict(self):
         with pytest.raises(SchemaParseError):
@@ -73,6 +74,33 @@ class TestRegistryParse:
         with registered(_multiple_of_spec()):
             with pytest.raises(SchemaParseError):
                 parse_schema('{"type":"integer","multipleOf":-1}')
+
+    def test_builtin_keyword_shadowing_rejected(self):
+        # Registering e.g. 'minimum' would silently hijack the built-in
+        # keyword's parsing and disable its validation.
+        spec = _multiple_of_spec()
+        bad = CheckSpec(keyword="minimum", kind=spec.kind, types=spec.types,
+                        compile=spec.compile, predicate=spec.predicate,
+                        scalar_predicate=spec.scalar_predicate,
+                        message=spec.message)
+        with pytest.raises(ValueError, match="shadows"):
+            register_check(bad)
+
+    def test_parsed_schema_survives_registry_clearing(self):
+        # A Ray worker unpickles the Schema in a process whose registry is
+        # empty; checks must have been captured at parse time (spec+state
+        # stored in Schema.custom), not re-resolved at validation time.
+        # cloudpickle is what Ray ships closures with.
+        from ray import cloudpickle as pickle
+
+        with registered(_multiple_of_spec()):
+            s = parse_schema(SCHEMA, strict=True)
+            blob = pickle.dumps(s)
+        # registry now empty again (context manager unregistered)
+        s2 = pickle.loads(blob)
+        errs = validate(s2, {"n": 7})
+        assert [e["kind"] for e in errs] == ["NotMultipleOf"]
+        assert validate(s2, {"n": 9}) == []
 
 
 class TestRegistryOracle:
