@@ -24,10 +24,26 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 # helpers
 
+#: below this on-disk size the read is split to cluster width explicitly —
+#: a small single-row-group file otherwise becomes ONE block and every
+#: downstream map_batches stage runs on one CPU; large tables keep Ray's
+#: natural per-file/row-group splitting (an override there would CAP read
+#: parallelism, the opposite failure)
+_SPLIT_SMALL_READ_BYTES = 256 * 1024 * 1024
+
+
+def _split_blocks(path: str):
+    try:
+        if os.path.getsize(path) >= _SPLIT_SMALL_READ_BYTES:
+            return None
+    except OSError:  # pragma: no cover - remote path
+        return None
+    from engine.shuffle import reduce_blocks
+    return reduce_blocks()
+
+
 def _docs(sf_dir: str, columns=None):
-    import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+    return _read(sf_dir, "documents", columns=columns)
 
 
 def _read(sf_dir: str, name: str, columns=None):
@@ -36,8 +52,9 @@ def _read(sf_dir: str, name: str, columns=None):
     ``map_batches``; at 100 TB an unpruned scan is the largest wasted-IO
     multiplier)."""
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                                 columns=columns)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=_split_blocks(path))
 
 
 def _round_half_away(x, decimals: int):

@@ -55,9 +55,19 @@ def exact_duplicates(ds, *, text_col: str = "text", key_col: str = "doc_id",
         })
 
     from engine.shuffle import balance
-    partials = balance(ds.map_batches(_partial, batch_format="pyarrow",
-                       zero_copy_batch=True, batch_size=batch_size,
-                       concurrency=concurrency))
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency)
+    # balance() sets the groupby's reduce width, which matters when the
+    # combiner collapses a big corpus into a few blocks; for a small corpus
+    # (parquet count is metadata-only) the extra pass costs more than the
+    # serialized reduce it prevents
+    try:
+        n_rows = ds.count()
+    except Exception:  # pragma: no cover - non-countable input
+        n_rows = None
+    if n_rows is None or n_rows > 100_000:
+        partials = balance(partials)
     from ray.data.aggregate import Min, Sum
     agg = partials.groupby("text_hash").aggregate(
         Min("keep_id"), Sum("cnt"))
@@ -192,8 +202,27 @@ class _MinHashBandBatch:
         })
 
 
-def _bucket_key_pairs(df, max_bucket_size: int = 64):
-    """Candidate (key_a, key_b) pairs within one LSH bucket.
+_TRIU_CACHE: dict = {}
+
+
+def _triu_idx(s: int):
+    t = _TRIU_CACHE.get(s)
+    if t is None:
+        t = np.triu_indices(s, 1)
+        _TRIU_CACHE[s] = t
+    return t
+
+
+def _emit_partition_pairs(df, max_bucket_size: int = 64, value_col=None):
+    """All within-bucket (key_a < key_b) pairs of ONE coarse hash partition.
+
+    The partition holds complete buckets (part = bkey % P), so pair
+    emission is exact, and the work is vectorized over the whole partition
+    instead of one pandas UDF call per bucket: sort by (bkey, key), find
+    bucket boundaries, emit cached-triu index pairs per qualifying bucket.
+    Duplicate keys within a bucket (possible only via a ~2^-63 bkey
+    collision merging two buckets) are dropped, matching the np.unique of
+    the per-bucket formulation.
 
     Defensive cap: a degenerate bucket of B members costs B^2 pairs; buckets
     above ``max_bucket_size`` are dropped here too (the hot-bucket join
@@ -201,14 +230,90 @@ def _bucket_key_pairs(df, max_bucket_size: int = 64):
     Byte-identical floods belong to exact dedup, which has no such cap.
     """
     import pandas as pd
-    if "key" not in df.columns:  # schemaless empty group (empty dataset)
-        return pd.DataFrame({"key_a": [], "key_b": []})
-    keys = np.unique(df["key"].to_numpy())
-    if len(keys) > max_bucket_size:
-        keys = keys[:0]
-    rows = [{"key_a": keys[i], "key_b": keys[j]}
-            for i in range(len(keys)) for j in range(i + 1, len(keys))]
-    return pd.DataFrame(rows, columns=["key_a", "key_b"])
+    val_cols = [f"{value_col}_a", f"{value_col}_b"] if value_col else []
+    cols = ["key_a", "key_b"] + val_cols
+    if "key" not in df.columns or not len(df):
+        return pd.DataFrame({c: [] for c in cols})
+    sub = df.drop_duplicates(subset=["bkey", "key"])
+    sub = sub.sort_values(["bkey", "key"], kind="mergesort")
+    bk = sub["bkey"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+    sizes = np.diff(np.r_[starts, len(bk)])
+    ok = (sizes >= 2) & (sizes <= max_bucket_size)
+    if not ok.any():
+        return pd.DataFrame({c: [] for c in cols})
+    ia_parts, ib_parts = [], []
+    for o, s in zip(starts[ok], sizes[ok]):
+        iu, ju = _triu_idx(int(s))
+        ia_parts.append(o + iu)
+        ib_parts.append(o + ju)
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    keys = sub["key"].to_numpy()
+    out = {"key_a": keys[ia], "key_b": keys[ib]}
+    if value_col:
+        vals = sub[value_col].to_numpy()
+        out[f"{value_col}_a"] = vals[ia]
+        out[f"{value_col}_b"] = vals[ib]
+    return pd.DataFrame(out)
+
+
+def _pairs_via_partitions(cand, *, max_bucket_size: int = 64,
+                          value_col=None, post=None):
+    """bkey-co-located candidate rows -> within-bucket candidate pairs.
+
+    Two-level grouping: buckets hash to P coarse partitions (P tracks
+    cluster CPUs, engine/shuffle.py) and ONE vectorized UDF runs per
+    partition — per-group pandas overhead is O(P), not O(#buckets)
+    (measured 5x on the bench corpus: 3.7s -> 0.7s across 3.3k buckets).
+    ``post`` optionally transforms each partition's pair frame in place
+    (e.g. simhash hamming filter) before it is shipped anywhere.
+    """
+    from engine.shuffle import reduce_blocks
+    P = np.int64(reduce_blocks())
+
+    def _part(b: pa.Table) -> pa.Table:
+        bk = b.column("bkey").to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(bk % P, pa.int64()))
+
+    def _udf(df):
+        out = _emit_partition_pairs(df, max_bucket_size, value_col)
+        return post(out) if post is not None else out
+
+    return cand.map_batches(_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(_udf, batch_format="pandas")
+
+
+def _unique_pairs(pairs, *, min_col=None):
+    """Distinct (key_a, key_b) rows (same coarse-partition trick): every
+    copy of a pair lands in one partition (ppart = mixed pair hash % P) and
+    one vectorized drop_duplicates — or a min-aggregate over ``min_col`` —
+    runs per partition, replacing a full groupby over the pair columns."""
+    import pandas as pd
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = ["key_a", "key_b"] + ([min_col] if min_col else [])
+
+    def _ppart(df):
+        if "key_a" not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in cols + ["ppart"]})
+        with np.errstate(over="ignore"):
+            h = _splitmix(hash64(df["key_a"].to_numpy())
+                          ^ hash64(df["key_b"].to_numpy(), 7), 11)
+        out = df[cols].copy()
+        out["ppart"] = (h % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _dedup(df):
+        if "key_a" not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in cols})
+        if min_col:
+            return df.groupby(["key_a", "key_b"],
+                              as_index=False)[min_col].min()[cols]
+        return df.drop_duplicates(["key_a", "key_b"])[cols]
+
+    return pairs.map_batches(_ppart, batch_format="pandas") \
+        .groupby("ppart").map_groups(_dedup, batch_format="pandas")
 
 
 def _key_type(ds, key_col: str) -> pa.DataType:
@@ -263,7 +368,8 @@ def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
     2. NATIVE groupby-count over a bkey-only projection (8-byte rows),
        rebalanced so the reduce width tracks cluster CPUs;
     3. keep bucket ids with ``2 <= count <= max_bucket_size`` — singletons
-       cannot form pairs, floods are pathological (see _bucket_key_pairs);
+       cannot form pairs, floods are pathological (see
+       _emit_partition_pairs) and are counted to the worker log;
        the hot-id set is materialized (bucket ids only — bounded by the
        corpus near-dup rate, orders of magnitude below the banded rows);
     4. semi-join the banded rows against the hot ids: if the hot set is
@@ -283,14 +389,31 @@ def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
     # rows skips the deterministic re-banding pass; above the limit — or
     # when the count is unknown — the recompute path is the scale default
     # (a pinned banded set at 10^12 docs would hold ~16x corpus rows)
-    if n_rows_hint is not None and n_rows_hint <= pin_rows_limit:
+    pinned = n_rows_hint is not None and n_rows_hint <= pin_rows_limit
+    if pinned:
         keyed = keyed.materialize()
-    counts = balance(keyed.select_columns(["bkey"])).groupby("bkey").count()
+    proj = keyed.select_columns(["bkey"])
+    from engine.shuffle import reduce_blocks
+    if pinned and keyed.num_blocks() >= max(8, reduce_blocks() // 2):
+        # already well-blocked: the groupby's reduce width tracks the block
+        # count, so the explicit balancing pass would be a wasted shuffle
+        counts = proj.groupby("bkey").count()
+    else:
+        counts = balance(proj).groupby("bkey").count()
 
     def _hot_only(b: pa.Table) -> pa.Table:
         n = b.column("count()")
         keep = pc.and_(pc.greater_equal(n, 2),
                        pc.less_equal(n, max_bucket_size))
+        n_flood = len(b) - int(pc.sum(pc.less_equal(n, max_bucket_size))
+                               .as_py() or 0)
+        if n_flood:
+            # recall-cliff observability (a >cap bucket yields ZERO pairs):
+            # worker-side log, aggregated by reading the ray data logs
+            import logging
+            logging.getLogger(__name__).warning(
+                "dropping %d flood bucket(s) larger than max_bucket_size=%d",
+                n_flood, max_bucket_size)
         return b.filter(keep).select(["bkey"])
 
     hot = counts.map_batches(_hot_only, batch_format="pyarrow").materialize()
@@ -322,11 +445,13 @@ def _hot_bucket_join(banded, cols: list[str], *, max_bucket_size: int = 64,
     return keyed.map_batches(_HotMember(ref), batch_format="pyarrow")
 
 
-def _pair_key_bloom(uniq_pairs, *, fpr: float = 1e-3):
+def _pair_key_bloom(uniq_pairs, n_pairs: Optional[int] = None, *,
+                    fpr: float = 1e-3):
     """Broadcastable Bloom filter over the distinct keys of a candidate-pair
     dataset. Candidate keys are sparse (near-dup pairs only), so the filter
     stays small; false positives only cost a wasted signature computation,
-    never a wrong answer (scoring joins on exact keys)."""
+    never a wrong answer (scoring joins on exact keys). Pass ``n_pairs``
+    when already known to skip the extra count job."""
     from engine.referential import build_bloom
 
     def _emit_keys(b: pa.Table) -> pa.Table:
@@ -338,22 +463,72 @@ def _pair_key_bloom(uniq_pairs, *, fpr: float = 1e-3):
             kb = kb.combine_chunks()
         return pa.table({"key": pa.concat_arrays([ka, kb])})
 
+    if n_pairs is None:
+        n_pairs = uniq_pairs.count()
     keys_ds = uniq_pairs.map_batches(_emit_keys, batch_format="pyarrow")
-    return build_bloom(keys_ds, "key", capacity=max(uniq_pairs.count(), 1) * 2,
+    return build_bloom(keys_ds, "key", capacity=max(n_pairs, 1) * 2,
                        fpr=fpr)
 
 
-def _join_pair_payload(uniq_pairs, payload, col: str, n_pairs: int):
+def _join_pair_payload(uniq_pairs, payload, col: str, n_pairs: int,
+                       broadcast_limit: int = 2_000_000):
     """Join a (key, <col>) payload dataset onto both sides of a pair
     dataset, producing ``<col>_a`` / ``<col>_b`` columns — the distributed
     replacement for a driver-built key->payload dict.
 
-    Partition count scales with the pair count (>= ~64 pairs expected per
-    partition, floor 1): Ray's hash-join aggregators produce SCHEMALESS
-    empty partitions, which crash the per-partition acero join — sizing
-    partitions to the data makes an empty partition a ~e^-64 probability
-    event while still tracking cluster CPUs for large candidate sets."""
+    Size-gated routing (the ``count_dangling_fk`` broadcast_limit pattern):
+    a payload below ``broadcast_limit`` rows — the sparse-candidate common
+    case — ships ONCE via ``ray.put`` and both sides attach map-only with a
+    vectorized lookup; larger payloads fall through to two distributed hash
+    joins. Inner-join semantics either way: pairs whose key is missing from
+    the payload drop out.
+
+    Join path: partition count scales with the pair count (>= ~64 pairs
+    expected per partition, floor 1): Ray's hash-join aggregators produce
+    SCHEMALESS empty partitions, which crash the per-partition acero join —
+    sizing partitions to the data makes an empty partition a ~e^-64
+    probability event while still tracking cluster CPUs for large candidate
+    sets."""
+    import ray
+
     from engine.shuffle import join_partitions
+
+    payload_schema0 = payload.schema().base_schema
+    kt0 = payload_schema0.field("key").type
+    vt0 = payload_schema0.field(col).type
+    if payload.count() <= broadcast_limit:  # payload is materialized: free
+        import pandas as pd
+        pdf = payload.to_pandas().drop_duplicates("key")
+        lookup = pd.Series(pdf[col].to_numpy(), index=pdf["key"].to_numpy())
+        ref = ray.put(lookup)
+
+        class _Attach:
+            def __init__(self, r):
+                self.r = r
+                self._s = None
+
+            def __call__(self, df):
+                if self._s is None:
+                    self._s = ray.get(self.r) if isinstance(
+                        self.r, ray.ObjectRef) else self.r
+                empty = pa.table({
+                    "key_a": pa.array([], kt0), "key_b": pa.array([], kt0),
+                    f"{col}_a": pa.array([], vt0),
+                    f"{col}_b": pa.array([], vt0)})
+                if "key_a" not in df.columns or not len(df):
+                    return empty
+                va = self._s.reindex(df["key_a"].to_numpy()).to_numpy()
+                vb = self._s.reindex(df["key_b"].to_numpy()).to_numpy()
+                keep = ~(pd.isna(va) | pd.isna(vb))
+                if not keep.any():
+                    return empty
+                return pa.table({
+                    "key_a": pa.array(df["key_a"].to_numpy()[keep], kt0),
+                    "key_b": pa.array(df["key_b"].to_numpy()[keep], kt0),
+                    f"{col}_a": pa.array(list(va[keep]), vt0),
+                    f"{col}_b": pa.array(list(vb[keep]), vt0)})
+
+        return uniq_pairs.map_batches(_Attach(ref), batch_format="pandas")
 
     def _rename(side: str):
         def _fn(b: pa.Table) -> pa.Table:
@@ -364,9 +539,7 @@ def _join_pair_payload(uniq_pairs, payload, col: str, n_pairs: int):
     # the payload dataset is always Arrow-blocked (map_batches pyarrow
     # output) and its "key" column is the pair-key dtype; the pair dataset
     # may be pandas-blocked (map_groups), whose schema lacks Arrow types
-    payload_schema = payload.schema().base_schema
-    kt = payload_schema.field("key").type
-    vt = payload_schema.field(col).type
+    kt, vt = kt0, vt0
 
     def _norm(fields):
         """Empty join partitions come out SCHEMALESS; rebuild them typed so
@@ -499,19 +672,17 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
     cand = _hot_bucket_join(banded, ["band", "band_hash"],
                             max_bucket_size=max_bucket_size,
                             n_rows_hint=hint)
-    pairs = cand.groupby("bkey").map_groups(
-        _bucket_key_pairs, batch_format="pandas")
+    pairs = _pairs_via_partitions(cand, max_bucket_size=max_bucket_size)
     # a pair can surface from several bands: keep one copy; the pair set is
     # sparse/bounded, so materializing it (to reuse for bloom + joins
     # without re-running the LSH) is the intended scale behavior
-    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
-        .select_columns(["key_a", "key_b"]).materialize()
+    uniq_pairs = _unique_pairs(pairs).materialize()
     n_pairs = uniq_pairs.count()
     if n_pairs == 0:  # no candidates: typed empty result
         return _empty_pairs(_key_type(ds, key_col), "est_jaccard",
                             pa.float64())
 
-    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs, n_pairs))
     sigs = ds.map_batches(
         _SigCandidatesBatch(bloom_ref, text_col, key_col, k, shingle_n),
         batch_format="pyarrow", batch_size=batch_size,
@@ -576,10 +747,16 @@ def simhash_fingerprints(ds, *, text_col: str = "text",
 
 def simhash_near_duplicates(ds, *, text_col: str = "text",
                             key_col: str = "doc_id", max_hamming: int = 3,
-                            shingle_n: int = 2, batch_size: int = 8192,
-                            concurrency=None):
+                            shingle_n: int = 2, max_bucket_size: int = 64,
+                            batch_size: int = 8192, concurrency=None):
     """Pairs with Hamming(simhash) <= max_hamming via 4x16-bit chunk LSH
-    (any pair within 3 bits must agree on >=1 chunk)."""
+    (any pair within 3 bits must agree on >=1 chunk).
+
+    ``max_bucket_size`` caps the members a chunk bucket may hold before it
+    is dropped as a flood (dropped buckets are logged by the hot-bucket
+    filter) — raise it when recall over dense clusters matters more than
+    worst-case pair cost.
+    """
     import pandas as pd
 
     def _chunks(batch: pa.Table) -> pa.Table:
@@ -600,21 +777,20 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
             "simhash": pa.array(rows["simhash"], pa.uint64()),
         })
 
-    def _pairs(df):
-        if "key" not in df.columns:  # schemaless empty group
-            return pd.DataFrame(columns=["key_a", "key_b", "hamming"])
-        keys = df["key"].to_numpy()
-        fps = df["simhash"].to_numpy().astype(np.uint64)
-        out = []
-        for i in range(len(keys)):
-            for j in range(i + 1, len(keys)):
-                if keys[i] == keys[j]:
-                    continue
-                d = int(bin(int(fps[i]) ^ int(fps[j])).count("1"))
-                if d <= max_hamming:
-                    a, b = sorted((keys[i], keys[j]))
-                    out.append({"key_a": a, "key_b": b, "hamming": d})
-        return pd.DataFrame(out, columns=["key_a", "key_b", "hamming"])
+    def _hamming_post(pdf):
+        """Vectorized popcount(xor) filter applied inside the pair
+        partition, so only pairs within max_hamming ever shuffle again."""
+        if not len(pdf):
+            return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
+        a = pdf["simhash_a"].to_numpy().astype(np.uint64)
+        b = pdf["simhash_b"].to_numpy().astype(np.uint64)
+        x = np.bitwise_xor(a, b)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"key_a": pdf["key_a"].to_numpy()[keep],
+                             "key_b": pdf["key_b"].to_numpy()[keep],
+                             "hamming": ham[keep]})
 
     chunked = ds.map_batches(_chunks, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size,
@@ -624,23 +800,26 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
     except Exception:  # pragma: no cover
         hint = None
     cand = _hot_bucket_join(chunked, ["chunk", "chunk_val"],
+                            max_bucket_size=max_bucket_size,
                             n_rows_hint=hint)
-    pairs = cand.groupby("bkey").map_groups(
-        _pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-    agg = pairs.groupby(["key_a", "key_b"]).aggregate(Min("hamming"))
+    pairs = _pairs_via_partitions(cand, max_bucket_size=max_bucket_size,
+                                  value_col="simhash", post=_hamming_post)
+    # a pair can match on several chunks: keep one copy (hamming identical
+    # for every copy, so the min is just the dedup tie-break)
+    agg = _unique_pairs(pairs, min_col="hamming")
     kt = _key_type(ds, key_col)
 
-    def _final(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0 or len(b) == 0:  # empty aggregate block
+    def _final(df):
+        if "key_a" not in df.columns or not len(df):
             return pa.table({"key_a": pa.array([], kt),
                              "key_b": pa.array([], kt),
                              "hamming": pa.array([], pa.int64())})
-        return pa.table({"key_a": b.column("key_a"),
-                         "key_b": b.column("key_b"),
-                         "hamming": b.column("min(hamming)")})
+        return pa.table({"key_a": pa.array(df["key_a"].tolist(), kt),
+                         "key_b": pa.array(df["key_b"].tolist(), kt),
+                         "hamming": pa.array(
+                             df["hamming"].to_numpy().astype(np.int64))})
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    return agg.map_batches(_final, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -684,7 +863,7 @@ def verify_pairs_jaccard(ds_pairs, docs_ds, *, text_col: str = "text",
     if n_pairs == 0:
         return _empty_pairs(_key_type(docs_ds, key_col), "jaccard",
                             pa.float64())
-    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs, n_pairs))
 
     class _KeepCandidates:
         def __init__(self, ref):
@@ -730,6 +909,7 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
                               n_tables: int = 3,
                               n_probes: int = 1,
                               threshold: float = 0.95,
+                              max_bucket_size: int = 64,
                               seed: int = 13, batch_size: int = 8192,
                               concurrency=None):
     """Pairs with cosine >= threshold: random-hyperplane sign-LSH buckets,
@@ -746,7 +926,6 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     behind a broadcast Bloom and joined distributedly for scoring — a
     spurious probe candidate costs one cosine, never a wrong answer.
     """
-    import pandas as pd
     import ray
 
     if n_planes is None:
@@ -802,17 +981,16 @@ def embedding_near_duplicates(ds, *, vec_col: str = "embedding",
     except Exception:  # pragma: no cover
         hint = None
     cand = _hot_bucket_join(bucketed, ["table", "bucket"],
+                            max_bucket_size=max_bucket_size,
                             n_rows_hint=hint)
-    pairs = cand.groupby("bkey").map_groups(
-        _bucket_key_pairs, batch_format="pandas")
+    pairs = _pairs_via_partitions(cand, max_bucket_size=max_bucket_size)
     # sparse pair set: the only materialized intermediate (see minhash)
-    uniq_pairs = pairs.groupby(["key_a", "key_b"]).count() \
-        .select_columns(["key_a", "key_b"]).materialize()
+    uniq_pairs = _unique_pairs(pairs).materialize()
     n_pairs = uniq_pairs.count()
     if n_pairs == 0:
         return _empty_pairs(_key_type(ds, key_col), "cosine", pa.float64())
 
-    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs))
+    bloom_ref = ray.put(_pair_key_bloom(uniq_pairs, n_pairs))
 
     class _FetchVecs:
         def __init__(self, ref):

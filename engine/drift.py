@@ -120,15 +120,63 @@ def build_baseline(ds, *, numeric: Sequence[str] = NUMERIC_DEFAULT,
                    categorical: Sequence[str] = CATEGORICAL_DEFAULT,
                    exclude_partitions: Sequence[str] = (),
                    batch_size: int = 8192) -> dict:
-    """Baseline sketch store {column: (kind, payload)} from a clean corpus."""
+    """Baseline sketch store {column: (kind, payload)} from a clean corpus.
+
+    Partial sketches are tree-reduced per column (engine/shuffle.py
+    tree_reduce) so the driver merges O(columns x cluster) rows, never one
+    sketch row per batch; excluded partitions are filtered before any
+    merging.
+    """
+    import pyarrow.compute as pc
+
+    from engine.shuffle import tree_reduce
+
     partials = ds.map_batches(
         _DriftPartialBatch(numeric, categorical),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
     excl = set(exclude_partitions)
+    if excl:
+        excl_arr = pa.array(sorted(excl), pa.string())
+
+        def _drop_excluded(b: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(b.column("partition_id"),
+                                      value_set=excl_arr))
+            return b.filter(keep)
+
+        partials = partials.map_batches(_drop_excluded,
+                                        batch_format="pyarrow")
+
+    def _merge_block(b: pa.Table) -> pa.Table:
+        """One merged row per (column, kind) present in the block; the
+        partition_id collapses to the merged marker '' (partition identity
+        is only meaningful pre-filter)."""
+        out = []
+        cols = b.column("column").to_pylist()
+        kinds = b.column("kind").to_pylist()
+        tds = b.column("tdigest").to_pylist()
+        cnts = b.column("counts").to_pylist()
+        acc: dict = {}
+        for col, kind, td, cn in zip(cols, kinds, tds, cnts):
+            if kind == "numeric":
+                cur = acc.setdefault((col, kind), TDigest())
+                if td:
+                    cur.merge(TDigest.from_bytes(bytes(td)))
+            else:
+                cur = acc.setdefault((col, kind), {})
+                if cn:
+                    for kk, vv in json.loads(cn).items():
+                        cur[kk] = cur.get(kk, 0) + vv
+        for (col, kind), payload in sorted(acc.items()):
+            out.append({
+                "partition_id": "", "column": col, "kind": kind,
+                "tdigest": payload.to_bytes() if kind == "numeric" else b"",
+                "counts": json.dumps(payload) if kind != "numeric" else "",
+            })
+        return pa.Table.from_pylist(out, schema=_PARTIAL_SCHEMA)
+
+    final = tree_reduce(partials, _merge_block)
     baseline: dict = {}
-    for row in partials.iter_rows():
-        if row["partition_id"] in excl:
-            continue
+    for row in final.iter_rows():
         col = row["column"]
         if row["kind"] == "numeric":
             td = TDigest.from_bytes(bytes(row["tdigest"]))

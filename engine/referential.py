@@ -26,7 +26,11 @@ from engine.sketches import Bloom
 def build_bloom(catalog_ds, column: str = "media_ref", *,
                 capacity: Optional[int] = None, fpr: float = 0.01,
                 batch_size: int = 65536) -> Bloom:
-    """Distributed Bloom build: per-batch partial filters, OR-merged."""
+    """Distributed Bloom build: per-batch partial filters, OR-merged by a
+    distributed tree reduction (engine/shuffle.py tree_reduce) so the
+    driver merges O(cluster) partials, never one bitmap per batch."""
+    from engine.shuffle import tree_reduce
+
     if capacity is None:
         capacity = catalog_ds.count()
     proto = Bloom.for_capacity(capacity, fpr)
@@ -38,10 +42,17 @@ def build_bloom(catalog_ds, column: str = "media_ref", *,
         b.add(vals)
         return pa.table({"bloom": pa.array([b.to_bytes()], pa.binary())})
 
+    def _merge_block(b: pa.Table) -> pa.Table:
+        m = Bloom(n_bits, k)
+        for blob in b.column("bloom").to_pylist():
+            m.merge(Bloom.from_bytes(blob))
+        return pa.table({"bloom": pa.array([m.to_bytes()], pa.binary())})
+
     parts = catalog_ds.map_batches(
         _partial, batch_format="pyarrow", batch_size=batch_size)
+    final = tree_reduce(parts, _merge_block)
     merged = Bloom(n_bits, k)
-    for row in parts.iter_rows():
+    for row in final.iter_rows():
         merged.merge(Bloom.from_bytes(row["bloom"]))
     return merged
 

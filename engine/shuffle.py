@@ -32,6 +32,34 @@ def balance(ds, blocks: int | None = None):
     return ds.repartition(blocks if blocks is not None else reduce_blocks())
 
 
+def tree_reduce(parts, merge_block, *, fanout: int = 32,
+                driver_limit: int = 64):
+    """Distributed tree reduction of a dataset of mergeable partial rows.
+
+    Each round coalesces ~``fanout`` rows per block and applies
+    ``merge_block`` (pa.Table -> pa.Table, >=1 merged row per block), so
+    the partial count shrinks geometrically and the driver only ever
+    iterates the final <= ``driver_limit`` rows — never one row per input
+    batch. That is the difference between O(actors) and O(batches) driver
+    traffic: at a 10^9-key catalog a partial Bloom is ~1 GB, and batches x
+    1 GB OR-merged through one process is a scale-killer (the repartition
+    here is coalesce-only — no all-to-all shuffle).
+
+    Returns the final small MATERIALIZED dataset for a driver-side merge.
+    """
+    cur = parts.materialize()
+    n = cur.count()
+    while n > driver_limit:
+        blocks = max(1, (n + fanout - 1) // fanout)
+        cur = cur.repartition(blocks).map_batches(
+            merge_block, batch_format="pyarrow",
+            batch_size=None).materialize()
+        prev, n = n, cur.count()
+        if n >= prev:  # merge fn did not shrink: avoid an infinite loop
+            break
+    return cur
+
+
 def join_partitions(divisor: int = 2, default_cpus: int = 8) -> int:
     """Partition count for hash joins (``Dataset.join``).
 

@@ -267,11 +267,19 @@ def heavy_hitter_tokens(ds, *, text_col: str = "text", k: int = 20,
         ss.update(toks)
         return pa.table({"sketch": pa.array([ss.to_bytes()], pa.binary())})
 
+    def _merge_block(b: pa.Table) -> pa.Table:
+        m = SpaceSaving(capacity)
+        for blob in b.column("sketch").to_pylist():
+            m.merge(SpaceSaving.from_bytes(blob))
+        return pa.table({"sketch": pa.array([m.to_bytes()], pa.binary())})
+
+    from engine.shuffle import tree_reduce
     parts = ds.map_batches(_partial, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=batch_size,
                            concurrency=concurrency)
+    final = tree_reduce(parts, _merge_block)
     merged = SpaceSaving(capacity)
-    for row in parts.iter_rows():
+    for row in final.iter_rows():
         merged.merge(SpaceSaving.from_bytes(row["sketch"]))
     rows = merged.top(k)
     return pa.table({

@@ -152,3 +152,66 @@ class TestDrift:
         assert bool(off["drifted"].iloc[0])
         # clean partitions do not trip numeric KS
         assert not clean[(clean["column"] == "spans.offset")]["drifted"].any()
+
+
+class TestTreeReduce:
+    """Distributed tree reduction of mergeable partials (shuffle.tree_reduce)
+    must be equivalent to the direct single-process construction, even when
+    the partial count forces several reduction rounds."""
+
+    def test_bloom_many_partials_equivalence(self, ray_session):
+        import ray.data
+        from engine.referential import build_bloom
+        from engine.sketches import Bloom
+
+        vals = [f"ref-{i}" for i in range(4000)]
+        # batch_size=16 -> 250 partial blooms > driver_limit (64): at least
+        # one distributed merge round actually runs
+        ds = ray.data.from_items([{"media_ref": v} for v in vals])
+        merged = build_bloom(ds, "media_ref", capacity=4000, fpr=0.01,
+                             batch_size=16)
+        direct = Bloom.for_capacity(4000, 0.01)
+        direct.add(np.array(vals, dtype=object))
+        assert merged.n_bits == direct.n_bits and merged.k == direct.k
+        assert np.array_equal(merged.words, direct.words)
+
+    def test_heavy_hitters_many_partials_exact_regime(self, ray_session):
+        import ray.data
+        from engine.textstats import heavy_hitter_tokens
+
+        # 40 distinct tokens, capacity 256 >> distinct: merge is exact
+        # counter addition, so tree order cannot change the result
+        rows = [{"text": f"tok{i % 40} tok{i % 7}"} for i in range(3000)]
+        out = heavy_hitter_tokens(
+            ray.data.from_items(rows), k=40, capacity=256,
+            batch_size=16).to_pandas()
+        import collections
+        truth = collections.Counter()
+        for r in rows:
+            truth.update(r["text"].split())
+        got = dict(zip(out["token"], out["est_count"]))
+        assert got == dict(truth)
+        assert (out["max_error"] == 0).all()
+
+    def test_drift_baseline_many_partials(self, ray_session):
+        import ray.data
+        from engine.drift import build_baseline
+
+        rng = np.random.default_rng(5)
+        rows = [{"partition_id": f"p{i % 4}",
+                 "n_chars": float(rng.normal(100, 10)),
+                 "lang": ["en", "de", "fr"][i % 3]} for i in range(2000)]
+        base = build_baseline(ray.data.from_items(rows),
+                              numeric=("n_chars",), categorical=("lang",),
+                              exclude_partitions=["p3"], batch_size=8)
+        kind, td = base["n_chars"]
+        assert kind == "numeric"
+        # quantile of the merged digest tracks the non-excluded data
+        keep = np.array([r["n_chars"] for r in rows
+                         if r["partition_id"] != "p3"])
+        assert abs(td.quantile(0.5) - np.median(keep)) < 2.0
+        kind, counts = base["lang"]
+        import collections
+        truth = collections.Counter(r["lang"] for r in rows
+                                    if r["partition_id"] != "p3")
+        assert kind == "categorical" and counts == dict(truth)
