@@ -151,15 +151,21 @@ def dangling_fk_rows(fact_ds, dim_ds, *, fk: str, pk: str,
 
 class _RefCheckBatch:
     """Checks flattened ``<list_col>.<ref_field>`` membership against the
-    broadcast filter; emits one row per dangling ref occurrence."""
+    broadcast filter; emits one row per dangling ref occurrence.
+
+    With ``emit_hit_keys`` the batch ALSO emits its distinct Bloom-HIT keys
+    as marker rows (span_index = -1, key_column = '') so a downstream exact
+    pass can audit them without a second corpus scan (the hit-key rows are
+    distinct-per-batch, a combiner output, never one row per ref)."""
 
     def __init__(self, side_ref, list_col: str, ref_field: str,
-                 key_column: str, exact: bool):
+                 key_column: str, exact: bool, emit_hit_keys: bool = False):
         self.side_ref = side_ref  # ray.ObjectRef or the object itself
         self.list_col = list_col
         self.ref_field = ref_field
         self.key_column = key_column
         self.exact = exact
+        self.emit_hit_keys = emit_hit_keys
         self._side = None
 
     def _get_side(self):
@@ -192,30 +198,118 @@ class _RefCheckBatch:
         dangling_local = np.nonzero(nonempty)[0][~hit]
         keys = batch.column(self.key_column).take(
             pa.array(parent[dangling_local]))
-        return pa.table({
+        out = pa.table({
             self.key_column: keys,
             "span_index": pa.array(within[dangling_local].astype(np.int32)),
             "media_ref": pa.array([refs[i] for i in dangling_local.tolist()],
                                   pa.string()),
         })
+        if self.emit_hit_keys:
+            hit_keys = np.unique(check[hit].astype(object))
+            marker = pa.table({
+                self.key_column: pa.array([""] * len(hit_keys), pa.string()),
+                "span_index": pa.array(
+                    np.full(len(hit_keys), -1, dtype=np.int32)),
+                "media_ref": pa.array(hit_keys.tolist(), pa.string()),
+            })
+            out = pa.concat_tables([out, marker])
+        return out
 
 
 def check_references(docs_ds, catalog_ds, *, list_col: str = "spans",
                      ref_field: str = "media_ref",
                      key_column: str = "doc_id", exact: bool = False,
-                     fpr: float = 0.01, batch_size: int = 8192,
-                     concurrency=None):
+                     verify_hits: bool = False, fpr: float = 0.01,
+                     batch_size: int = 8192, concurrency=None):
     """Dangling-reference Dataset: (key, span_index, media_ref).
 
     The side input is built once on the driver and broadcast via ``ray.put``
     (read zero-copy-ish by every task), never re-shipped per batch.
+
+    ``verify_hits=True`` (Bloom mode only) adds the two-phase exact audit
+    of Bloom HITS: at 10^12 refs and 1% fpr, ~10^10 dangling refs would
+    otherwise pass silently. Phase 1 emits the definite misses and the
+    per-batch distinct hit keys; phase 2 anti-joins the distinct hit keys
+    against the catalog (``dangling_fk_rows`` — shuffles distinct keys,
+    never rows); only when that finds false positives (rare) does a third
+    targeted pass fetch their row contexts behind a broadcast of the
+    (tiny) FP key set.
     """
     import ray
 
     side = (build_exact_set(catalog_ds, ref_field) if exact
             else build_bloom(catalog_ds, ref_field, fpr=fpr))
     side_ref = ray.put(side)
-    return docs_ds.map_batches(
-        _RefCheckBatch(side_ref, list_col, ref_field, key_column, exact),
+    if exact or not verify_hits:
+        return docs_ds.map_batches(
+            _RefCheckBatch(side_ref, list_col, ref_field, key_column, exact),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size, concurrency=concurrency)
+
+    phase1 = docs_ds.map_batches(
+        _RefCheckBatch(side_ref, list_col, ref_field, key_column, False,
+                       emit_hit_keys=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency).materialize()
+
+    def _miss_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        return b.filter(pc2.greater_equal(b.column("span_index"), 0))
+
+    def _hit_keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        sub = b.filter(pc2.equal(b.column("span_index"), -1))
+        return pa.table({"media_ref": sub.column("media_ref")})
+
+    misses = phase1.map_batches(_miss_rows, batch_format="pyarrow")
+    hits = phase1.map_batches(_hit_keys, batch_format="pyarrow")
+    fp = dangling_fk_rows(hits, catalog_ds, fk="media_ref", pk=ref_field,
+                          batch_size=batch_size).materialize()
+    if fp.count() == 0:
+        return misses
+
+    fp_keys = set(fp.to_pandas()["key"].tolist())
+    fp_ref = ray.put(fp_keys)
+    fp_rows = docs_ds.map_batches(
+        _FetchRefRows(fp_ref, list_col, ref_field, key_column),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
+    return misses.union(fp_rows)
+
+
+class _FetchRefRows:
+    """Row contexts (key, span_index, media_ref) of refs IN the broadcast
+    key set — the targeted third pass that materializes the (rare) Bloom
+    false positives found by the exact hit audit."""
+
+    def __init__(self, keys_ref, list_col: str, ref_field: str,
+                 key_column: str):
+        self.keys_ref = keys_ref
+        self.list_col = list_col
+        self.ref_field = ref_field
+        self.key_column = key_column
+        self._keys = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+        if self._keys is None:
+            obj = self.keys_ref
+            self._keys = ray.get(obj) if isinstance(
+                obj, ray.ObjectRef) else obj
+        arr = _decode(batch.column(self.list_col))
+        active = np.ones(len(arr), dtype=bool)
+        if arr.null_count:
+            active = np.asarray(pc.is_valid(arr)).astype(bool)
+        elems, parent, within = _flatten(arr, active)
+        refs = _decode(elems.field(self.ref_field)).to_numpy(
+            zero_copy_only=False)
+        sel = np.array([r is not None and r in self._keys for r in refs],
+                       dtype=bool)
+        idx = np.nonzero(sel)[0]
+        keys = batch.column(self.key_column).take(pa.array(parent[idx]))
+        return pa.table({
+            self.key_column: keys,
+            "span_index": pa.array(within[idx].astype(np.int32)),
+            "media_ref": pa.array([refs[i] for i in idx.tolist()],
+                                  pa.string()),
+        })

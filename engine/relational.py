@@ -64,10 +64,73 @@ def q1_pricing_summary(lineitem_ds, *, batch_size: int = 65536,
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+def _revenue_by_segment_join(orders_ds, customer_ds, batch_size,
+                             concurrency):
+    """Distributed fall-through for a dimension too large to broadcast:
+    orders pre-aggregate per custkey inside ``map_batches`` (combiner), the
+    partials hash-join the dimension, and the (tiny) per-segment groupby
+    finishes — the dimension never touches the driver."""
+    from engine.shuffle import balance, join_partitions
+
+    def _opartial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "c_custkey": b.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "p": b.column("o_totalprice").to_numpy(zero_copy_only=False)})
+        g = df.groupby("c_custkey", sort=False).agg(
+            revenue=("p", "sum"), n_orders=("p", "size")).reset_index()
+        return pa.table({
+            "c_custkey": pa.array(g["c_custkey"], pa.int64()),
+            "revenue": pa.array(g["revenue"], pa.float64()),
+            "n_orders": pa.array(g["n_orders"].astype(np.int64))})
+
+    op = orders_ds.map_batches(_opartial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=batch_size,
+                               concurrency=concurrency)
+    dim = customer_ds.select_columns(["c_custkey", "c_mktsegment"])
+    joined = op.join(dim, join_type="inner",
+                     num_partitions=join_partitions(), on=("c_custkey",))
+
+    def _norm(b: pa.Table) -> pa.Table:
+        # empty hash-join partitions come out schemaless (see dedup.py)
+        if b.num_columns == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "revenue": pa.array([], pa.float64()),
+                             "n_orders": pa.array([], pa.int64())})
+        return b.select(["c_mktsegment", "revenue", "n_orders"])
+
+    partials = balance(joined.map_batches(_norm, batch_format="pyarrow"))
+    from ray.data.aggregate import Sum
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue"), Sum("n_orders"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b.column("c_mktsegment"),
+            "revenue": b.column("sum(revenue)"),
+            "n_orders": b.column("sum(n_orders)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def revenue_by_segment(orders_ds, customer_ds, *, batch_size: int = 65536,
-                       concurrency=None):
-    """orders x customer broadcast hash join -> revenue per market segment."""
+                       concurrency=None, broadcast_limit: int = 2_000_000):
+    """orders x customer join -> revenue per market segment.
+
+    Size-gated routing (the ``count_dangling_fk`` broadcast_limit pattern):
+    a dimension below ``broadcast_limit`` rows ships ONCE via ``ray.put``
+    as a key->segment lookup and the join is map-only; a larger dimension —
+    it scales with the corpus (TPC-H customer = 0.15N), so at 100x it does
+    not fit a driver dict — falls through to a distributed hash join of
+    per-batch revenue partials against the dimension table.
+    """
     import ray
+
+    if customer_ds.count() > broadcast_limit:
+        return _revenue_by_segment_join(orders_ds, customer_ds, batch_size,
+                                        concurrency)
 
     cust = customer_ds.select_columns(
         ["c_custkey", "c_mktsegment"]).to_pandas()
@@ -156,37 +219,60 @@ def sessionize(events_ds, *, gap_minutes: int = 30, batch_size: int = 65536):
     """Gap-based sessionization: events of one user sorted by time; a gap
     > ``gap_minutes`` starts a new session. Shuffle key = user_id (each
     user's events must be co-located and ordered — the documented
-    partitioning assumption); per-group work is vectorized numpy.
+    partitioning assumption).
+
+    Users hash to P coarse partitions (P tracks cluster CPUs) and ONE
+    vectorized UDF sessionizes a whole partition — sort by (user, ts),
+    break sessions where the user changes or the gap exceeds the
+    threshold, aggregate with boundary arithmetic. Per-group pandas
+    overhead is O(P), not O(#users) (the same two-level grouping as the
+    LSH pair stages, engine/dedup.py).
 
     Output: (user_id, session_id, n_events, session_start, session_end).
     """
     import pandas as pd
 
+    from engine.shuffle import reduce_blocks
+    from engine.sketches import hash64
+
     gap = np.timedelta64(gap_minutes * 60, "s")
+    P = reduce_blocks()
+    out_cols = ["user_id", "session_id", "n_events", "session_start",
+                "session_end"]
 
-    def _sessions(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values("ts")
+    def _part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        part = (hash64(uid) % np.uint64(P)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def _sessions_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        if "user_id" not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in out_cols})
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
         ts = df["ts"].to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_session)
-        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "sid": sid,
-                          "ts": ts}).groupby("sid")
-        out = g.agg(user_id=("user_id", "first"), n_events=("ts", "size"),
-                    session_start=("ts", "min"),
-                    session_end=("ts", "max")).reset_index()
-        out = out.rename(columns={"sid": "session_id"})
-        out["session_id"] = out["session_id"].astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        # us precision to match SQL timestamps exactly
-        out["session_start"] = out["session_start"].astype("datetime64[us]")
-        out["session_end"] = out["session_end"].astype("datetime64[us]")
-        return out[["user_id", "session_id", "n_events", "session_start",
-                    "session_end"]]
+        uid = df["user_id"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap_break = np.r_[False, (ts[1:] - ts[:-1]) > gap]
+        new_session = new_user | gap_break
+        sid_global = np.cumsum(new_session)
+        user_first_sid = sid_global[np.flatnonzero(new_user)]
+        user_ord = np.cumsum(new_user) - 1
+        sid = sid_global - user_first_sid[user_ord] + 1
+        s_start = np.flatnonzero(new_session)
+        s_end = np.r_[s_start[1:], len(ts)]
+        return pd.DataFrame({
+            "user_id": uid[s_start],
+            "session_id": sid[s_start].astype("int64"),
+            "n_events": (s_end - s_start).astype("int64"),
+            # us precision to match SQL timestamps exactly
+            "session_start": ts[s_start].astype("datetime64[us]"),
+            "session_end": ts[s_end - 1].astype("datetime64[us]"),
+        })
 
-    return events_ds.select_columns(["user_id", "ts"]).groupby(
-        "user_id").map_groups(_sessions, batch_format="pandas")
+    return events_ds.select_columns(["user_id", "ts"]).map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size).groupby("part").map_groups(
+        _sessions_part, batch_format="pandas")
 
 
 def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
@@ -216,46 +302,79 @@ def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
 def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                          segment: str = "BUILDING",
                          cutoff: str = "1998-06-01", k: int = 10,
-                         batch_size: int = 65536, concurrency=None):
+                         batch_size: int = 65536, concurrency=None,
+                         broadcast_limit: int = 2_000_000):
     """TPC-H Q3 shape: top-k orders by revenue for one market segment.
 
-    Scale shape — one broadcast semi-join + ONE data-data hash join:
+    Scale shape — one semi-join + ONE data-data hash join:
 
-    1. segment customers -> broadcast key array (the dimension is small;
-       ``np.isin`` per batch) filters orders map-only, with the date filter
-       fused into the same pass; only (o_orderkey, o_orderdate) survive;
+    1. segment customers filter orders: below ``broadcast_limit`` keys the
+       distinct key array ships once via ``ray.put`` (vectorized np.isin
+       per batch, date filter applied in the pass before); above it — the
+       segment is ~N/5 customers, unbounded in the corpus — a distributed
+       hash join on custkey does the semi-join. Only (o_orderkey,
+       o_orderdate) survive either way;
     2. lineitem is filtered + pre-aggregated per l_orderkey INSIDE
        ``map_batches`` (combiner), so the hash join moves one partial
        revenue row per (orderkey x batch), never raw lineitem rows;
     3. ``Dataset.join`` on orderkey (partitions track cluster CPUs);
     4. final (orderkey, orderdate) groupby-sum is over joined partials;
-       top-k via sort + limit on the aggregated (bounded) rows.
+       top-k via DISTRIBUTED sort + limit — the driver only ever sees the
+       k result rows, not the full aggregate.
     """
     import ray
+
+    from engine.shuffle import join_partitions
 
     cutoff64 = np.datetime64(cutoff, "us")
 
     cust = customer_ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), segment))
-        .select(["c_custkey"]), batch_format="pyarrow")
-    keys = np.unique(cust.to_pandas()["c_custkey"].to_numpy())
-    keys_ref = ray.put(keys)
+        .select(["c_custkey"]), batch_format="pyarrow").materialize()
 
-    def _orders(b: pa.Table) -> pa.Table:
-        side = ray.get(keys_ref)
+    def _date_filter(b: pa.Table) -> pa.Table:
         od = pc.cast(b.column("o_orderdate"), pa.timestamp("us")) \
             .to_numpy(zero_copy_only=False)
-        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
-        mask = (od < cutoff64) & np.isin(ck, side)
-        sub = b.filter(pa.array(mask))
-        return pa.table({"o_orderkey": sub.column("o_orderkey"),
+        sub = b.filter(pa.array(od < cutoff64))
+        return pa.table({"o_custkey": sub.column("o_custkey"),
+                         "o_orderkey": sub.column("o_orderkey"),
                          "o_orderdate": pc.cast(sub.column("o_orderdate"),
                                                 pa.timestamp("us"))})
 
-    orders = orders_ds.map_batches(_orders, batch_format="pyarrow",
-                                   zero_copy_batch=True,
-                                   batch_size=batch_size,
-                                   concurrency=concurrency)
+    dated = orders_ds.map_batches(_date_filter, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=batch_size,
+                                  concurrency=concurrency)
+
+    if cust.count() <= broadcast_limit:
+        keys = np.unique(cust.to_pandas()["c_custkey"].to_numpy())
+        keys_ref = ray.put(keys)
+
+        def _semi(b: pa.Table) -> pa.Table:
+            side = ray.get(keys_ref)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            sub = b.filter(pa.array(np.isin(ck, side)))
+            return sub.select(["o_orderkey", "o_orderdate"])
+
+        orders = dated.map_batches(_semi, batch_format="pyarrow")
+    else:
+        def _rename(b: pa.Table) -> pa.Table:
+            return pa.table({"o_custkey": b.column("c_custkey")})
+
+        dim = cust.map_batches(_rename, batch_format="pyarrow")
+        joined_orders = dated.join(dim, join_type="inner",
+                                   num_partitions=join_partitions(),
+                                   on=("o_custkey",))
+
+        def _norm_orders(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:  # schemaless empty join partition
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us"))})
+            return b.select(["o_orderkey", "o_orderdate"])
+
+        orders = joined_orders.map_batches(_norm_orders,
+                                           batch_format="pyarrow")
 
     def _li_partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -299,7 +418,9 @@ def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                                    pa.timestamp("us")),
             "revenue": pa.array(rev, pa.float64())})
 
-    out = agg.map_batches(_final, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
-                          ascending=[False, True, True]).head(k)
-    return out.reset_index(drop=True)
+    out = agg.map_batches(_final, batch_format="pyarrow")
+    # distributed top-k: the qualifying (orderkey, orderdate) aggregate is
+    # ~10^7-10^8 rows at 100x — sort().limit(k) keeps it off the driver
+    top = out.sort(["revenue", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(k)
+    return top.to_pandas().reset_index(drop=True)

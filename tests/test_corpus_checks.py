@@ -215,3 +215,45 @@ class TestTreeReduce:
         truth = collections.Counter(r["lang"] for r in rows
                                     if r["partition_id"] != "p3")
         assert kind == "categorical" and counts == dict(truth)
+
+
+class TestTwoPhaseBloomVerify:
+    def test_forced_false_positives_caught(self, ray_session, corpus):
+        """At fpr~0.5 many dangling refs pass the Bloom silently; the
+        verify_hits exact audit must recover EXACTLY the exact-mode rows."""
+        import ray.data
+        from engine.referential import check_references
+        out_dir, corpus_dir = corpus
+        docs = ray.data.read_parquet(corpus_dir)
+        catalog = ray.data.read_parquet(
+            os.path.join(out_dir, "media_catalog.parquet"))
+
+        exact = check_references(docs, catalog, exact=True).to_pandas()
+        plain = check_references(docs, catalog, exact=False,
+                                 fpr=0.5).to_pandas()
+        verified = check_references(docs, catalog, exact=False, fpr=0.5,
+                                    verify_hits=True).to_pandas()
+        key = ["doc_id", "span_index", "media_ref"]
+        e = set(map(tuple, exact[key].values))
+        p = set(map(tuple, plain[key].values))
+        v = set(map(tuple, verified[key].values))
+        assert p < e          # the planted fpr really lost dangling rows
+        assert v == e         # ...and the two-phase audit recovered them
+
+    def test_verify_hits_no_fp_case(self, ray_session, corpus):
+        """With a tight fpr the audit usually finds nothing; result must
+        equal the plain Bloom path and the targeted third pass is skipped
+        (same rows, no duplicates)."""
+        import ray.data
+        from engine.referential import check_references
+        out_dir, corpus_dir = corpus
+        docs = ray.data.read_parquet(corpus_dir)
+        catalog = ray.data.read_parquet(
+            os.path.join(out_dir, "media_catalog.parquet"))
+        exact = check_references(docs, catalog, exact=True).to_pandas()
+        verified = check_references(docs, catalog, exact=False, fpr=1e-6,
+                                    verify_hits=True).to_pandas()
+        key = ["doc_id", "span_index", "media_ref"]
+        assert set(map(tuple, verified[key].values)) == \
+            set(map(tuple, exact[key].values))
+        assert len(verified) == len(exact)  # no duplicate emissions

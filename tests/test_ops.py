@@ -254,6 +254,33 @@ class TestRelational:
         assert np.allclose(got["revenue"], exp["revenue"])
         assert (got["n_orders"] == exp["n_orders"]).all()
 
+    def test_segment_join_auto_route_both_sizes(self, rds):
+        """broadcast_limit=0 forces the distributed-join fall-through; the
+        result must match the broadcast path exactly (auto-route pytest
+        for the unbounded-dimension gate)."""
+        from engine.relational import revenue_by_segment
+        small = revenue_by_segment(
+            rds("orders"), rds("customer")).to_pandas().sort_values(
+            "c_mktsegment").reset_index(drop=True)
+        large = revenue_by_segment(
+            rds("orders"), rds("customer"),
+            broadcast_limit=0).to_pandas().sort_values(
+            "c_mktsegment").reset_index(drop=True)
+        assert list(small["c_mktsegment"]) == list(large["c_mktsegment"])
+        assert np.allclose(small["revenue"], large["revenue"])
+        assert (small["n_orders"] == large["n_orders"]).all()
+
+    def test_q3_auto_route_both_sizes(self, rds):
+        from engine.relational import q3_shipping_priority
+        kw = dict(segment="BUILDING", cutoff="1998-06-01", k=5)
+        small = q3_shipping_priority(
+            rds("lineitem"), rds("orders"), rds("customer"), **kw)
+        large = q3_shipping_priority(
+            rds("lineitem"), rds("orders"), rds("customer"),
+            broadcast_limit=0, **kw)
+        assert list(small["l_orderkey"]) == list(large["l_orderkey"])
+        assert np.allclose(small["revenue"], large["revenue"])
+
     def test_events_window_vs_duckdb(self, rds):
         from engine.relational import events_per_user_hour
         got = events_per_user_hour(rds("events")).to_pandas()
