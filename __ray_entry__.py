@@ -331,13 +331,14 @@ def _q_simhash(sf_dir: str):
     from engine.dedup import simhash_fingerprints
 
     def _cast(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         # uint64 -> hex string for portable hashing by the driver
+        # (np.char.mod formats the whole column in one call — no per-row
+        # Python loop)
+        v = b.column("simhash").to_numpy(zero_copy_only=False)
+        hx = np.char.mod("%016x", v.astype(np.uint64))
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "simhash": pa.array([f"{int(v):016x}"
-                                 for v in b.column("simhash").to_pylist()],
-                                pa.string())})
+            "simhash": pa.array(hx.tolist(), pa.string())})
     return simhash_fingerprints(
         _docs(sf_dir, columns=["doc_id", "text"])).map_batches(
         _cast, batch_format="pyarrow")

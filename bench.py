@@ -70,7 +70,7 @@ def bench_validate(corpus_dir: str) -> tuple[float, int]:
     ds = ray.data.read_parquet(corpus_dir)
     n_docs = ds.count()
     t0 = time.perf_counter()
-    viol = validate_dataset(ds, batch_size=8192, with_message=False)
+    viol = validate_dataset(ds, batch_size="auto", with_message=False)
     n_viol = viol.count()  # consumes the stream
     dt = time.perf_counter() - t0
     return dt, n_docs
@@ -146,7 +146,7 @@ def main() -> int:
                  include_dashboard=False, log_to_driver=False)
         corpus = ensure_corpus()
         ds = ray.data.read_parquet(corpus)
-        viol = validate_dataset(ds, batch_size=8192, with_message=False)
+        viol = validate_dataset(ds, batch_size="auto", with_message=False)
         mat = viol.materialize()  # stats attach to the executed plan
         print(mat.stats())
         ray.shutdown()

@@ -121,9 +121,17 @@ def validate_dataset(ds, schema_json: str = DOC_SCHEMA_JSON, *,
                      key_column: str = "doc_id",
                      carry_columns: Sequence[str] = ("spans",),
                      instance_columns: Optional[Sequence[str]] = None,
-                     batch_size: int = 8192, concurrency=None,
+                     batch_size=8192, concurrency=None,
                      with_message: bool = True):
-    """``ds`` -> violations Dataset (streaming, zero-copy batches)."""
+    """``ds`` -> violations Dataset (streaming, zero-copy batches).
+
+    ``batch_size="auto"`` derives the size from the input's observed
+    bytes/row (engine/tuning.py — metadata-only, pure reads only), so wide
+    documents get smaller batches and narrow ones larger.
+    """
+    if batch_size == "auto":
+        from engine.tuning import autotune_batch_size
+        batch_size = autotune_batch_size(ds)
     return ds.map_batches(
         ValidateBatch(schema_json, key_column=key_column,
                       carry_columns=carry_columns,

@@ -656,9 +656,15 @@ def minhash_near_duplicates(ds, *, text_col: str = "text",
        candidate keys — false positives waste one signature, never corrupt
        a result) and joined back onto both pair sides distributedly;
     6. vectorized signature-agreement scoring filters est >= threshold.
+
+    ``batch_size="auto"`` sizes the banding batches from the corpus's
+    observed bytes/row (engine/tuning.py).
     """
     import ray
 
+    if batch_size == "auto":
+        from engine.tuning import autotune_batch_size
+        batch_size = autotune_batch_size(ds)
     banded = ds.map_batches(
         _MinHashBandBatch(text_col, key_col, k, bands, shingle_n),
         batch_format="pyarrow", zero_copy_batch=True,

@@ -304,9 +304,16 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
     for p in paths:
         files.extend(sorted(_glob.glob(os.path.join(p, "*.parquet"))))
     ds = ray.data.read_parquet(files)
-    side = ray.put((q, probes))
+    side = ray.put((q, probes, cb))
 
     class _Score:
+        """Each row's cell is recovered via argmax against the broadcast
+        codebook (identical to its build-time assignment — same codebook,
+        same unit vectors) and every query scores ONLY rows in its own
+        probed cells, so results match ``ivf_topk``'s per-query nprobe
+        semantics and cannot depend on which other queries share the
+        batch."""
+
         def __init__(self, ref):
             self.ref = ref
             self._side = None
@@ -315,23 +322,30 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray, *, k: int = 10,
             if self._side is None:
                 self._side = ray.get(self.ref) if isinstance(
                     self.ref, ray.ObjectRef) else self.ref
-            qm, _prb = self._side
+            qm, prb, cb_ = self._side
             mat = _batch_matrix(batch, "vec")
             keys = batch.column("key").to_numpy(zero_copy_only=False)
             out = {"query_id": [], "key": [], "cosine": []}
-            for qi in range(len(qm)):
-                col = mat @ qm[qi]
-                kk = min(k, len(mat))
-                if kk == 0:
-                    continue
-                idx = (np.argpartition(-col, kk - 1)[:kk]
-                       if kk < len(mat) else np.arange(len(mat)))
-                out["query_id"].extend([qi] * len(idx))
-                out["key"].extend(keys[idx].tolist())
-                out["cosine"].extend(col[idx].tolist())
+            if len(mat):
+                cells = np.argmax(mat @ cb_.T, axis=1)
+                allowed_tbl = np.zeros((len(qm), len(cb_)), dtype=bool)
+                for qi in range(len(qm)):
+                    allowed_tbl[qi, prb[qi]] = True
+                for qi in range(len(qm)):
+                    cand = np.flatnonzero(allowed_tbl[qi, cells])
+                    kk = min(k, len(cand))
+                    if kk == 0:
+                        continue
+                    col = mat[cand] @ qm[qi]
+                    loc = (np.argpartition(-col, kk - 1)[:kk]
+                           if kk < len(cand) else np.arange(len(cand)))
+                    out["query_id"].extend([qi] * len(loc))
+                    out["key"].extend(keys[cand[loc]].tolist())
+                    out["cosine"].extend(col[loc].tolist())
             return pa.table({
                 "query_id": pa.array(out["query_id"], pa.int32()),
-                "key": pa.array(out["key"]),
+                "key": pa.array(out["key"],
+                                batch.schema.field("key").type),
                 "cosine": pa.array(out["cosine"], pa.float64()),
             })
 

@@ -229,3 +229,44 @@ class TestFastJsonColumnValidator:
         v = FastJsonColumnValidator(
             '{"anyOf":[{"type":"object"}]}', "props", "event_id")
         assert not v._flat.ok
+
+
+class TestAutotune:
+    def test_pure_read_guard(self, ray_session):
+        import ray.data
+        from engine.tuning import _is_pure_read, autotune_batch_size
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        assert _is_pure_read(ds)
+        b = autotune_batch_size(ds)
+        assert 1024 <= b <= 262144
+        t = ds.map_batches(lambda x: x)
+        # a transformed dataset must fall back WITHOUT executing
+        assert not _is_pure_read(t)
+        assert autotune_batch_size(t) == 8192
+
+    def test_auto_batch_validate_same_rows(self, ray_session):
+        import ray.data
+        from engine.dataset import validate_dataset
+        ds = ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        fixed = validate_dataset(ds, batch_size=8192,
+                                 with_message=False).count()
+        auto = validate_dataset(ds, batch_size="auto",
+                                with_message=False).count()
+        assert fixed == auto
+
+    def test_wide_rows_get_smaller_batches(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data
+        from engine.tuning import autotune_batch_size
+        import pyarrow as pa
+        wide = pa.table({"text": ["x" * 20000] * 200})
+        narrow = pa.table({"k": list(range(200))})
+        pq.write_table(wide, str(tmp_path / "wide.parquet"))
+        pq.write_table(narrow, str(tmp_path / "narrow.parquet"))
+        bw = autotune_batch_size(
+            ray.data.read_parquet(str(tmp_path / "wide.parquet")))
+        bn = autotune_batch_size(
+            ray.data.read_parquet(str(tmp_path / "narrow.parquet")))
+        assert bw < bn

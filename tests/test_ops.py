@@ -395,6 +395,31 @@ class TestIvfPersistence:
             a = approx[approx["query_id"] == qi]
             assert qi in set(a["key"])
 
+    def test_indexed_results_batch_independent(self, ray_session, tmp_path):
+        """A query's top-k must not change with its co-batched queries:
+        each query scores only ITS probed cells (per-query nprobe
+        semantics), so solo and batched submissions agree exactly."""
+        import ray.data
+        from engine.similarity import build_ivf_index, ivf_topk_indexed
+        rng = np.random.default_rng(23)
+        vecs = rng.standard_normal((300, 12))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))}))
+        idx = str(tmp_path / "ivf_bi")
+        build_ivf_index(ds, idx, n_cells=8)
+
+        queries = vecs[:4]
+        batched = ivf_topk_indexed(idx, queries, k=5, nprobe=2).to_pandas()
+        for qi in range(4):
+            solo = ivf_topk_indexed(idx, queries[qi:qi + 1], k=5,
+                                    nprobe=2).to_pandas()
+            b = batched[batched["query_id"] == qi].sort_values(
+                ["cosine", "key"], ascending=[False, True])
+            assert list(solo["key"]) == list(b["key"])
+            assert np.allclose(solo["cosine"], b["cosine"])
+
     def test_partition_pruned_read(self, ray_session, tmp_path):
         import os
         import ray.data
