@@ -18,9 +18,14 @@ without changing observable behavior) and triage each pattern at compile time:
   - ``.`` excludes all ECMA LineTerminators (U+2028/U+2029 included) ->
     explicit negated class
   - ``(?<name>...)`` named groups -> ``(?P<name>...)``
+  - ``\\cX`` control escapes -> ``\\xNN`` (``chr(X % 32)``); a ``\\c`` with
+    no control letter is Annex-B literal ``\\c``
+  - ``\\D``/``\\W``/``\\S`` *inside* a character class -> exact complement
+    codepoint ranges (a union with a complement has no nested-negation
+    form, so the complement is expanded to bare ranges)
 
-  Remaining corners (``\\cX`` control escapes, Annex-B octal escapes)
-  compile to ``None`` and fall back to the per-row oracle path.
+  Remaining corner: Annex-B octal escapes (``\\1``-style without a matching
+  group) keep Python semantics — divergence-tested, documented.
 * ``re2_safe``: conservative whitelist for zero-copy evaluation with
   ``pyarrow.compute.match_substring_regex`` (RE2). Patterns outside the
   whitelist use the compiled Python regex in a per-batch kernel instead.
@@ -53,10 +58,43 @@ _WORD_BOUNDARY = (f"(?:(?<![{_WORD}])(?=[{_WORD}])"
 _NON_WORD_BOUNDARY = (f"(?:(?<=[{_WORD}])(?=[{_WORD}])"
                       f"|(?<![{_WORD}])(?![{_WORD}]))")
 
+#: the three ECMA sets as sorted (lo, hi) codepoint intervals — the basis
+#: for exact complement ranges inside character classes
+_DIGIT_IV = [(0x30, 0x39)]
+_WORD_IV = [(0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)]
+_SPACE_IV = [(0x09, 0x0D), (0x20, 0x20), (0xA0, 0xA0), (0x1680, 0x1680),
+             (0x2000, 0x200A), (0x2028, 0x2029), (0x202F, 0x202F),
+             (0x205F, 0x205F), (0x3000, 0x3000), (0xFEFF, 0xFEFF)]
+
+
+def _esc_cp(cp: int) -> str:
+    if cp <= 0xFF:
+        return f"\\x{cp:02x}"
+    if cp <= 0xFFFF:
+        return f"\\u{cp:04x}"
+    return f"\\U{cp:08x}"
+
+
+def _complement_fragment(intervals) -> str:
+    """Class fragment (bare ranges) matching every codepoint NOT in the
+    intervals — how ``\\D``/``\\W``/``\\S`` become exact inside a class,
+    where a complement cannot be expressed as a nested negation."""
+    parts = []
+    prev = 0
+    for lo, hi in intervals:
+        if lo > prev:
+            parts.append((prev, lo - 1))
+        prev = hi + 1
+    if prev <= 0x10FFFF:
+        parts.append((prev, 0x10FFFF))
+    return "".join(_esc_cp(lo) if lo == hi else f"{_esc_cp(lo)}-{_esc_cp(hi)}"
+                   for lo, hi in parts)
+
+
 _CLASS_EXPANSIONS = {  # inside [...]: bare ranges, no brackets
-    "d": "0-9", "D": None,  # \D inside a class has no bare-range expansion
-    "w": _WORD, "W": None,
-    "s": _SPACE, "S": None,
+    "d": "0-9", "D": _complement_fragment(_DIGIT_IV),
+    "w": _WORD, "W": _complement_fragment(_WORD_IV),
+    "s": _SPACE, "S": _complement_fragment(_SPACE_IV),
 }
 _TOP_EXPANSIONS = {
     "d": "[0-9]", "D": "[^0-9]",
@@ -77,17 +115,28 @@ def translate_ecma(pattern: str) -> str:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
             esc = pattern[i + 1]
-            if in_class:
-                exp = _CLASS_EXPANSIONS.get(esc, "")
-                if exp:  # \d \w \s -> bare ranges inside the class
-                    out.append(exp)
+            if esc == "c":
+                # ECMA \cX control escape (X a letter; Annex B also allows
+                # digits and _ inside classes): chr(X % 32). Python re has
+                # no \c, so emit the control char as \xNN. A \c with no
+                # following control letter is, per Annex B, a LITERAL
+                # backslash followed by 'c'.
+                nxt = pattern[i + 2] if i + 2 < n else ""
+                is_ctl = nxt.isascii() and (
+                    nxt.isalpha() or (in_class and (nxt.isdigit()
+                                                    or nxt == "_")))
+                if is_ctl:
+                    out.append(f"\\x{ord(nxt) % 32:02x}")
+                    i += 3
                 else:
-                    # \D \W \S inside a class have no bare-range expansion
-                    # (a union with a complement is not a single class);
-                    # they keep Python's Unicode semantics — divergence only
-                    # for non-ASCII input on this rare shape. All other
-                    # escapes pass through unchanged.
-                    out.append(pattern[i:i + 2])
+                    out.append("\\\\c")
+                    i += 2
+                continue
+            if in_class:
+                # \d \w \s -> bare ranges; \D \W \S -> exact complement
+                # ranges (see _complement_fragment). Other escapes pass
+                # through unchanged.
+                out.append(_CLASS_EXPANSIONS.get(esc) or pattern[i:i + 2])
             else:
                 out.append(_TOP_EXPANSIONS.get(esc) or pattern[i:i + 2])
             i += 2

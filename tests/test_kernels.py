@@ -360,6 +360,28 @@ class TestEcmaTranslation:
         assert compile_ecma("[") is None
         assert compile_ecma("(") is None
 
+    def test_control_escape(self):
+        # \cX = chr(X % 32); Python re has no \c, translator emits \xNN
+        assert self._m(r"^\cA$", "\x01")
+        assert self._m(r"^\cj$", "\n")          # lowercase letter too
+        assert not self._m(r"^\cA$", "A")
+        assert self._m(r"^[\cM\cJ]$", "\r")      # inside a class
+        assert self._m(r"^[\c1]$", "\x11")       # Annex B: digits in class
+        # Annex B: \c with no control letter is literal backslash + 'c'
+        assert self._m(r"^\c$", "\\c")
+        assert self._m(r"^\c-$", "\\c-")
+
+    def test_class_inner_complements_exact(self):
+        # \D \W \S inside a class expand to exact ECMA complement ranges
+        # (Python's unicode-flavored \D\W\S would diverge on these inputs)
+        assert self._m(r"^[\D]$", "٣")    # non-ASCII digit: ECMA non-digit
+        assert self._m(r"^[\W]$", "é")    # non-ASCII letter: ECMA non-word
+        assert self._m(r"^[\S]$", "\x1c")  # FS: not ECMA whitespace
+        assert not self._m(r"^[\S]$", "﻿")  # BOM: ECMA whitespace
+        assert self._m(r"^[\Da]+$", "a٣é")       # union with literals
+        assert self._m(r"^[^\D]+$", "123")        # negated: digits only
+        assert not self._m(r"^[^\D]$", "x")
+
 
 class TestEcmaCrossEngineFuzz:
     """RE2 (pyarrow.compute) implements ASCII \\d \\w \\b exactly like ECMA,
