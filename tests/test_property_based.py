@@ -80,3 +80,21 @@ class TestEcmaProperties:
         rx = compile_ecma(pattern)  # None or compiled, never an exception
         if rx is not None:
             rx.search("a1 b2é")  # and searching never raises either
+
+    @given(st.integers(min_value=0, max_value=0x10FFFF))
+    @settings(max_examples=400, deadline=None)
+    def test_class_inner_complements_exact_membership(self, cp):
+        """Class-inner \\D \\W \\S expand to codepoint ranges that agree
+        with direct membership in the ECMA sets, for any codepoint."""
+        import unicodedata
+        from engine.ecma import compile_ecma, _DIGIT_IV, _WORD_IV, _SPACE_IV
+        if unicodedata.category(chr(cp)) in ("Cs",):  # lone surrogates
+            return
+        s = chr(cp)
+        for esc, ivs in (("D", _DIGIT_IV), ("W", _WORD_IV), ("S", _SPACE_IV)):
+            rx = compile_ecma(f"^[\\{esc}]$")
+            in_set = any(lo <= cp <= hi for lo, hi in ivs)
+            assert (rx.search(s) is not None) == (not in_set), (esc, hex(cp))
+            # and the positive class agrees with membership too
+            rx_pos = compile_ecma(f"^[\\{esc.lower()}]$")
+            assert (rx_pos.search(s) is not None) == in_set, (esc, hex(cp))
