@@ -395,6 +395,27 @@ def _q_jaccard_verify(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Near-dup cluster resolution: shingle-blocked candidates -> exact
+    word-3-gram jaccard >= 0.6 edges -> connected components (one row per
+    clustered doc, cluster_id = min member). The candidate blocking is
+    exact (docs sharing any shingle), so the whole pipeline is
+    SQL-expressible: DuckDB reproduces the edges via a distinct-gram
+    self-join and the components via a recursive-CTE reachability closure.
+    Hash-collision extra candidates cannot change the edge set — a pair
+    passing jaccard >= 0.6 > 0 must share a real gram (engine/cluster.py).
+    """
+    from engine.cluster import near_dup_clusters
+    out = near_dup_clusters(_docs(sf_dir, columns=["doc_id", "text"]),
+                            threshold=0.6)
+
+    def _name(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("node"),
+                         "cluster_id": b.column("cluster_id")})
+    return out.map_batches(_name, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def _q_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from engine.similarity import ivf_topk, train_codebook
@@ -616,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "jaccard_verify": _q_jaccard_verify,
+        "near_dup_clusters": _q_near_dup_clusters,
         # text analysis
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -1068,5 +1090,46 @@ def oracle_sql() -> dict[str, str]:
                           / len(list_distinct(ga || gb))
                    end, 4) as jaccard
             from pairs
+        """,
+        "near_dup_clusters": r"""
+            with recursive
+            d as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') as w
+              from documents),
+            g as (
+              select doc_id,
+                     list_distinct(case
+                       when len(w) = 0 then []::varchar[]
+                       when len(w) < 3 then [array_to_string(w, ' ')]
+                       else list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     end) as grams
+              from d),
+            ex as (select doc_id, unnest(grams) as gram from g),
+            cand as (
+              select distinct a.doc_id as u, b.doc_id as v
+              from ex a join ex b using (gram)
+              where a.doc_id < b.doc_id),
+            e as (
+              select u, v from cand
+              join g ga on ga.doc_id = cand.u
+              join g gb on gb.doc_id = cand.v
+              where (case when len(ga.grams) = 0 and len(gb.grams) = 0
+                          then 1.0
+                          else len(list_distinct(list_intersect(
+                                   ga.grams, gb.grams)))::double
+                               / len(list_distinct(ga.grams || gb.grams))
+                     end) >= 0.6),
+            sym as (select u as a, v as b from e
+                    union all select v, u from e),
+            reach(node, l) as (
+              select distinct a, a from sym
+              union
+              select s.b, r.l from reach r join sym s on s.a = r.node)
+            select node as doc_id, min(l) as cluster_id
+            from reach group by node order by doc_id
         """,
     }
