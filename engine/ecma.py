@@ -23,9 +23,16 @@ without changing observable behavior) and triage each pattern at compile time:
   - ``\\D``/``\\W``/``\\S`` *inside* a character class -> exact complement
     codepoint ranges (a union with a complement has no nested-negation
     form, so the complement is expanded to bare ranges)
+  - Annex-B decimal escapes: ``\\N`` with N > the pattern's capture-group
+    count re-parses as a LegacyOctalEscapeSequence (-> ``\\xNN`` + literal
+    tail digits; ``\\8``/``\\9`` -> literal digit); inside a class digits
+    are ALWAYS octal. A backref that appears before its group closes
+    (forward ref / self ref) always matches empty in ECMA -> ``(?:)``.
 
-  Remaining corner: Annex-B octal escapes (``\\1``-style without a matching
-  group) keep Python semantics — divergence-tested, documented.
+  Remaining divergences (documented, divergence-tested): a backref to a
+  closed-but-non-participating group matches empty in ECMA but fails in
+  Python; backrefs to groups numbered > 99 have no Python spelling
+  (compile to ``None``). Both require absurd schema patterns.
 * ``re2_safe``: conservative whitelist for zero-copy evaluation with
   ``pyarrow.compute.match_substring_regex`` (RE2). Patterns outside the
   whitelist use the compiled Python regex in a per-batch kernel instead.
@@ -103,11 +110,61 @@ _TOP_EXPANSIONS = {
     "b": _WORD_BOUNDARY, "B": _NON_WORD_BOUNDARY,
 }
 
+_OCTAL = "01234567"
+
+
+def _legacy_octal(digits: str) -> tuple[int, int]:
+    """(codepoint, digits consumed) of an Annex-B LegacyOctalEscapeSequence
+    prefix of ``digits``; (-1, 0) when the first digit is 8/9 (identity
+    escape -> literal digit). First digit 0-3: up to three octal digits;
+    4-7: up to two — so the value never exceeds 0o377."""
+    if digits[0] not in _OCTAL:
+        return -1, 0
+    limit = 3 if digits[0] in "0123" else 2
+    n = 1
+    while n < limit and n < len(digits) and digits[n] in _OCTAL:
+        n += 1
+    return int(digits[:n], 8), n
+
+
+def _scan_groups(pattern: str):
+    """(capture count, close position by group number). Group numbering
+    counts named groups, matching both ECMA and Python ``re``."""
+    closes: dict[int, int] = {}
+    stack: list[int] = []
+    g = 0
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            named = (pattern.startswith("(?<", i)
+                     and i + 3 < n and pattern[i + 3] not in "=!")
+            if named or not pattern.startswith("(?", i):
+                g += 1
+                stack.append(g)
+            else:
+                stack.append(0)
+        elif c == ")" and stack:
+            gn = stack.pop()
+            if gn:
+                closes[gn] = i
+        i += 1
+    return g, closes
+
 
 def translate_ecma(pattern: str) -> str:
     """Rewrite an ECMA pattern for Python ``re`` (see module docstring for
     the divergence list). Output is a Python pattern with identical match
     semantics for the supported ECMA subset."""
+    groups, closes = _scan_groups(pattern)
     out = []
     in_class = False
     i, n = 0, len(pattern)
@@ -115,6 +172,36 @@ def translate_ecma(pattern: str) -> str:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
             esc = pattern[i + 1]
+            if esc in "123456789":
+                j = i + 1
+                while j < n and pattern[j].isdigit():
+                    j += 1
+                digits = pattern[i + 1:j]
+                if not in_class and int(digits) <= groups:
+                    N = int(digits)
+                    if N > 99:  # no Python spelling for 3-digit backrefs
+                        raise re.error(
+                            f"backreference \\{N} not translatable")
+                    close = closes.get(N)
+                    if close is not None and i > close:
+                        out.append("\\" + digits)
+                    else:
+                        # forward/self reference: the group cannot have
+                        # captured yet -> ECMA matches empty
+                        out.append("(?:)")
+                    i = j
+                    continue
+                # Annex B: re-parse as LegacyOctalEscapeSequence; leftover
+                # digits fall through the loop as literals. \8 \9 are
+                # identity escapes (the bare digit).
+                val, used = _legacy_octal(digits)
+                if used == 0:
+                    out.append(digits[0])
+                    i += 2
+                else:
+                    out.append(_esc_cp(val))
+                    i += 1 + used
+                continue
             if esc == "c":
                 # ECMA \cX control escape (X a letter; Annex B also allows
                 # digits and _ inside classes): chr(X % 32). Python re has

@@ -371,6 +371,27 @@ class TestEcmaTranslation:
         assert self._m(r"^\c$", "\\c")
         assert self._m(r"^\c-$", "\\c-")
 
+    def test_annex_b_octal_escapes(self):
+        assert self._m(r"^\1$", "\x01")     # no groups: legacy octal
+        assert self._m(r"^\12$", "\n")
+        assert self._m(r"^\377$", "\xff")
+        assert self._m(r"^\400$", " 0")      # \40 (space) + literal '0'
+        assert self._m(r"^\8$", "8")         # identity escape
+        assert self._m(r"^\19$", "\x019")    # \1 + literal '9'
+        assert self._m(r"^[\1]$", "\x01")    # class digits always octal
+        assert self._m(r"^[\8]$", "8")
+        assert self._m(r"^(x)\12$", "x\n")   # 12 > 1 group: whole-run octal
+
+    def test_backreferences(self):
+        assert self._m(r"^(ab)\1$", "abab")
+        assert not self._m(r"^(ab)\1$", "abc")
+        assert self._m(r"^(a)\2$", "a\x02")  # \2 > groups: octal
+        assert self._m(r"^\1(a)$", "a")      # forward ref matches empty
+        assert self._m(r"^(a\1b)$", "ab")    # self ref matches empty
+        assert self._m(r"^(?<g>q)x\1$", "qxq")  # named groups count
+        from engine.ecma import compile_ecma
+        assert compile_ecma("(a)" * 100 + r"\100") is None  # no spelling
+
     def test_class_inner_complements_exact(self):
         # \D \W \S inside a class expand to exact ECMA complement ranges
         # (Python's unicode-flavored \D\W\S would diverge on these inputs)
