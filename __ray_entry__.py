@@ -395,6 +395,37 @@ def _q_jaccard_verify(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_train_test_contamination(sf_dir: str):
+    """Benchmark decontamination: near-dup pairs ACROSS a deterministic
+    train/test split of the documents table (doc_id % 5 == 0 is the test
+    side). The shingle-blocked generator is exact, so DuckDB reproduces
+    the pair set and jaccard values bit-for-bit."""
+    import pyarrow.compute as pc
+    from engine.contamination import cross_corpus_near_duplicates
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _side(keep_test: bool):
+        def _fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 5) == 0
+            return b.filter(pa.array(m if keep_test else ~m))
+        return _fn
+
+    train = docs.map_batches(_side(False), batch_format="pyarrow")
+    test = docs.map_batches(_side(True), batch_format="pyarrow")
+    out = cross_corpus_near_duplicates(train, test, threshold=0.6,
+                                       method="shingle")
+
+    def _name(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "train_id": b.column("key_a"), "test_id": b.column("key_b"),
+            "jaccard": pa.array(_round_half_away(
+                b.column("jaccard").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_name, batch_format="pyarrow") \
+        .sort(["train_id", "test_id"])
+
+
 def _q_near_dup_clusters(sf_dir: str):
     """Near-dup cluster resolution: shingle-blocked candidates -> exact
     word-3-gram jaccard >= 0.6 edges -> connected components (one row per
@@ -638,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "jaccard_verify": _q_jaccard_verify,
         "near_dup_clusters": _q_near_dup_clusters,
+        "train_test_contamination": _q_train_test_contamination,
         # text analysis
         "token_counts": _q_token_counts,
         "bpe_token_counts": _q_bpe_token_counts,
@@ -1131,5 +1163,41 @@ def oracle_sql() -> dict[str, str]:
               select s.b, r.l from reach r join sym s on s.a = r.node)
             select node as doc_id, min(l) as cluster_id
             from reach group by node order by doc_id
+        """,
+        "train_test_contamination": r"""
+            with d as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') as w
+              from documents),
+            g as (
+              select doc_id,
+                     list_distinct(case
+                       when len(w) = 0 then []::varchar[]
+                       when len(w) < 3 then [array_to_string(w, ' ')]
+                       else list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     end) as grams
+              from d),
+            ex as (select doc_id, unnest(grams) as gram from g),
+            cand as (
+              select distinct a.doc_id as u, b.doc_id as v
+              from ex a join ex b using (gram)
+              where a.doc_id % 5 <> 0 and b.doc_id % 5 = 0),
+            j as (
+              select u, v,
+                     (case when len(ga.grams) = 0 and len(gb.grams) = 0
+                           then 1.0
+                           else len(list_distinct(list_intersect(
+                                    ga.grams, gb.grams)))::double
+                                / len(list_distinct(ga.grams || gb.grams))
+                      end) as jac
+              from cand
+              join g ga on ga.doc_id = cand.u
+              join g gb on gb.doc_id = cand.v)
+            select u as train_id, v as test_id, round(jac, 4) as jaccard
+            from j where jac >= 0.6
+            order by train_id, test_id
         """,
     }

@@ -180,26 +180,31 @@ class _MinHashBandBatch:
     """
 
     def __init__(self, text_col: str, key_col: str, k: int, bands: int,
-                 shingle_n: int):
+                 shingle_n: int, extra_cols: list | None = None):
         self.text_col = text_col
         self.key_col = key_col
         self.k = k
         self.bands = bands
         self.r = k // bands
         self.shingle_n = shingle_n
+        self.extra_cols = extra_cols or []
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures_batch(texts, self.k, self.shingle_n)
         n = len(texts)
-        return pa.table({
+        out = {
             "band": pa.array(np.repeat(np.arange(self.bands,
                                                  dtype=np.int32), n)),
             "band_hash": pa.array(_band_hashes(sig, self.bands, self.r),
                                   pa.uint64()),
             "key": pa.array(np.tile(keys, self.bands).tolist()),
-        })
+        }
+        for c in self.extra_cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(np.tile(v, self.bands).tolist())
+        return pa.table(out)
 
 
 _TRIU_CACHE: dict = {}

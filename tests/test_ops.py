@@ -550,3 +550,56 @@ class TestHeavyHitters:
         assert m.counts["w"] == 4
         rt = SpaceSaving.from_bytes(m.to_bytes())
         assert rt.counts == m.counts and rt.errors == m.errors
+
+
+class TestContamination:
+    def _sides(self):
+        import ray.data
+        base = ("the quick brown fox jumps over the lazy dog near the "
+                "river bank today while seven geese watch quietly")
+        train = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base,
+                              "different training text about arrow tables",
+                              "a third unrelated training document here"])}))
+        test = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([101, 102], pa.int64()),
+            "text": pa.array([base.replace("lazy", "sleepy"),
+                              "totally novel evaluation material"])}))
+        return train, test
+
+    @pytest.mark.parametrize("method", ["shingle", "minhash"])
+    def test_cross_pair_found_train_first(self, ray_session, method):
+        from engine.contamination import cross_corpus_near_duplicates
+        train, test = self._sides()
+        out = cross_corpus_near_duplicates(
+            train, test, threshold=0.5, method=method).to_pandas()
+        assert len(out) == 1
+        # oriented train -> test regardless of key order
+        assert out["key_a"].iloc[0] == 1 and out["key_b"].iloc[0] == 101
+        assert out["jaccard"].iloc[0] >= 0.5
+
+    def test_orientation_with_reversed_ids(self, ray_session):
+        """Test-side ids BELOW train-side ids still come out test-second."""
+        from engine.contamination import cross_corpus_near_duplicates
+        train, test = self._sides()
+        # swap roles: the low ids become the test side
+        out = cross_corpus_near_duplicates(
+            test, train, threshold=0.5, method="shingle").to_pandas()
+        assert len(out) == 1
+        assert out["key_a"].iloc[0] == 101 and out["key_b"].iloc[0] == 1
+
+    def test_within_side_dups_excluded(self, ray_session):
+        import ray.data
+        from engine.contamination import cross_corpus_near_duplicates
+        twin = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        train = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([twin, twin + " extra"])}))  # near-dups
+        test = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([50], pa.int64()),
+            "text": pa.array(["entirely disjoint evaluation words"])}))
+        out = cross_corpus_near_duplicates(
+            train, test, threshold=0.3, method="shingle").to_pandas()
+        assert len(out) == 0
