@@ -261,6 +261,18 @@ def _q_top_event_types(sf_dir: str):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def _q_top_orders_per_priority(sf_dir: str):
+    """Grouped top-k: the 5 highest-value orders per order priority,
+    ties broken by o_orderkey — ``row_number()`` window parity."""
+    from engine.relational import grouped_topk
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = grouped_topk(orders, group_col="o_orderpriority",
+                       score_col="o_totalprice", id_col="o_orderkey", k=5)
+    return out.sort(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                    descending=[False, True, False])
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     from engine.similarity import cosine_topk
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_user_hour": _q_events_window,
         "sessionize_events": _q_sessionize,
         "top_event_types": _q_top_event_types,
+        "top_orders_per_priority": _q_top_orders_per_priority,
         # interleaved spans corpus (derived deterministically from documents)
         "validate_spans": _q_validate_spans,
         "spans_verdicts": _q_spans_verdicts,
@@ -976,6 +989,16 @@ def oracle_sql() -> dict[str, str]:
             select event_type, count(*) as n_events from events
             group by event_type
             order by n_events desc, event_type limit 5
+        """,
+        "top_orders_per_priority": """
+            select o_orderpriority, o_totalprice, o_orderkey
+            from (select o_orderpriority, o_totalprice, o_orderkey,
+                         row_number() over (
+                             partition by o_orderpriority
+                             order by o_totalprice desc, o_orderkey) as rn
+                  from orders) t
+            where rn <= 5
+            order by o_orderpriority, o_totalprice desc, o_orderkey
         """,
         "sessionize_events": """
             with marked as (

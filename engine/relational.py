@@ -312,6 +312,53 @@ def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
                     descending=[True, False]).limit(k)
 
 
+def grouped_topk(ds, *, group_col: str, score_col: str, id_col: str,
+                 k: int = 5, ascending: bool = False,
+                 batch_size: int = 65536):
+    """Top-``k`` rows per group by ``score_col`` (ties broken by
+    ``id_col`` ascending — fully deterministic, SQL ``row_number()``
+    parity).
+
+    Scale shape: an in-batch per-group top-k combiner bounds the shuffle at
+    (groups x k) rows per block — the corpus itself never shuffles; the
+    final pass co-locates whole groups on P coarse hash partitions (P
+    tracks cluster CPUs) and runs ONE vectorized sort-and-head per
+    partition, not one pandas call per group. A single hot group costs
+    O(blocks x k) final rows, so skew is bounded by design.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    by = [group_col, score_col, id_col]
+    order = [True, ascending, True]
+
+    def _topk(df):
+        return df.sort_values(by, ascending=order, kind="mergesort") \
+            .groupby(group_col, sort=False).head(k)
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in by})
+        return _topk(df[by])
+
+    def _part(df):
+        out = df.copy()
+        out["part"] = (hash64(df[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _final(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in by})
+        return _topk(df[by])
+
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .map_batches(_part, batch_format="pandas") \
+        .groupby("part").map_groups(_final, batch_format="pandas")
+
+
 def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                          segment: str = "BUILDING",
                          cutoff: str = "1998-06-01", k: int = 10,

@@ -603,3 +603,38 @@ class TestContamination:
         out = cross_corpus_near_duplicates(
             train, test, threshold=0.3, method="shingle").to_pandas()
         assert len(out) == 0
+
+
+class TestGroupedTopK:
+    def test_vs_duckdb_window(self, rds):
+        from engine.relational import grouped_topk
+        got = grouped_topk(
+            rds("orders"), group_col="o_orderpriority",
+            score_col="o_totalprice", id_col="o_orderkey",
+            k=3).to_pandas().sort_values(
+                ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True]).reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select o_orderpriority, o_totalprice, o_orderkey
+            from (select o_orderpriority, o_totalprice, o_orderkey,
+                         row_number() over (
+                             partition by o_orderpriority
+                             order by o_totalprice desc, o_orderkey) rn
+                  from read_parquet('{SF}/orders.parquet')) t
+            where rn <= 3
+            order by o_orderpriority, o_totalprice desc, o_orderkey
+        """).df()
+        assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+        assert np.allclose(got["o_totalprice"], exp["o_totalprice"])
+
+    def test_ascending_and_small_groups(self, ray_session):
+        import ray.data
+        from engine.relational import grouped_topk
+        t = pa.table({"g": ["a", "a", "a", "b"],
+                      "s": [3.0, 1.0, 2.0, 9.0],
+                      "i": [10, 11, 12, 13]})
+        out = grouped_topk(ray.data.from_arrow(t), group_col="g",
+                           score_col="s", id_col="i", k=2,
+                           ascending=True).to_pandas() \
+            .sort_values(["g", "s"]).reset_index(drop=True)
+        assert out["i"].tolist() == [11, 12, 13]  # two lowest of a, all of b
