@@ -407,6 +407,19 @@ def _q_jaccard_verify(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_near_dup_survivors(sf_dir: str):
+    """Deduplicated corpus view: every near-dup cluster keeps only its
+    minimum doc_id (resolve_duplicates over the oracled cluster edges);
+    singletons pass through. Output = surviving doc_ids."""
+    from engine.cluster import resolve_near_duplicates
+    out = resolve_near_duplicates(_docs(sf_dir, columns=["doc_id", "text"]),
+                                  threshold=0.6)
+
+    def _ids(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id")})
+    return out.map_batches(_ids, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_train_test_contamination(sf_dir: str):
     """Benchmark decontamination: near-dup pairs ACROSS a deterministic
     train/test split of the documents table (doc_id % 5 == 0 is the test
@@ -681,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "jaccard_verify": _q_jaccard_verify,
         "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_survivors": _q_near_dup_survivors,
         "train_test_contamination": _q_train_test_contamination,
         # text analysis
         "token_counts": _q_token_counts,
@@ -1186,6 +1200,51 @@ def oracle_sql() -> dict[str, str]:
               select s.b, r.l from reach r join sym s on s.a = r.node)
             select node as doc_id, min(l) as cluster_id
             from reach group by node order by doc_id
+        """,
+        "near_dup_survivors": r"""
+            with recursive
+            d as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') as w
+              from documents),
+            g as (
+              select doc_id,
+                     list_distinct(case
+                       when len(w) = 0 then []::varchar[]
+                       when len(w) < 3 then [array_to_string(w, ' ')]
+                       else list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     end) as grams
+              from d),
+            ex as (select doc_id, unnest(grams) as gram from g),
+            cand as (
+              select distinct a.doc_id as u, b.doc_id as v
+              from ex a join ex b using (gram)
+              where a.doc_id < b.doc_id),
+            e as (
+              select u, v from cand
+              join g ga on ga.doc_id = cand.u
+              join g gb on gb.doc_id = cand.v
+              where (case when len(ga.grams) = 0 and len(gb.grams) = 0
+                          then 1.0
+                          else len(list_distinct(list_intersect(
+                                   ga.grams, gb.grams)))::double
+                               / len(list_distinct(ga.grams || gb.grams))
+                     end) >= 0.6),
+            sym as (select u as a, v as b from e
+                    union all select v, u from e),
+            reach(node, l) as (
+              select distinct a, a from sym
+              union
+              select s.b, r.l from reach r join sym s on s.a = r.node),
+            comp as (select node, min(l) as cluster_id
+                     from reach group by node),
+            losers as (select node from comp where node <> cluster_id)
+            select doc_id from documents
+            where doc_id not in (select node from losers)
+            order by doc_id
         """,
         "train_test_contamination": r"""
             with d as (

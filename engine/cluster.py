@@ -332,6 +332,16 @@ def shingle_candidate_pairs(docs, *, text_col: str = "text",
     return _unique_pairs(pairs)
 
 
+def _near_dup_edges(docs, *, text_col: str, key_col: str, n: int,
+                    threshold: float, max_bucket_size: int | None):
+    """Shingle-blocked candidates -> exact jaccard >= threshold edges."""
+    from engine.dedup import verify_pairs_jaccard
+    cand = shingle_candidate_pairs(docs, text_col=text_col, key_col=key_col,
+                                   n=n, max_bucket_size=max_bucket_size)
+    return verify_pairs_jaccard(cand, docs, text_col=text_col,
+                                key_col=key_col, n=n, threshold=threshold)
+
+
 def near_dup_clusters(docs, *, text_col: str = "text",
                       key_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.6,
@@ -339,9 +349,20 @@ def near_dup_clusters(docs, *, text_col: str = "text",
     """End-to-end: shingle-blocked candidates -> exact jaccard >= threshold
     edges -> connected components. Returns (node, cluster_id) rows for every
     document in a near-dup cluster of size >= 2."""
-    from engine.dedup import verify_pairs_jaccard
-    cand = shingle_candidate_pairs(docs, text_col=text_col, key_col=key_col,
-                                   n=n, max_bucket_size=max_bucket_size)
-    edges = verify_pairs_jaccard(cand, docs, text_col=text_col,
-                                 key_col=key_col, n=n, threshold=threshold)
-    return connected_components(edges)
+    return connected_components(_near_dup_edges(
+        docs, text_col=text_col, key_col=key_col, n=n,
+        threshold=threshold, max_bucket_size=max_bucket_size))
+
+
+def resolve_near_duplicates(docs, *, text_col: str = "text",
+                            key_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.6,
+                            max_bucket_size: int | None = None,
+                            broadcast_limit: int = 2_000_000):
+    """Survivor view: ``docs`` minus every non-canonical near-dup cluster
+    member (the deduplication a training pipeline actually applies)."""
+    edges = _near_dup_edges(docs, text_col=text_col, key_col=key_col, n=n,
+                            threshold=threshold,
+                            max_bucket_size=max_bucket_size)
+    return resolve_duplicates(docs, edges, key_col=key_col,
+                              broadcast_limit=broadcast_limit)

@@ -184,7 +184,9 @@ def translate_ecma(pattern: str) -> str:
                             f"backreference \\{N} not translatable")
                     close = closes.get(N)
                     if close is not None and i > close:
-                        out.append("\\" + digits)
+                        # (?:...) wrapper so a following literal digit
+                        # cannot merge into a larger backref number
+                        out.append(f"(?:\\{digits})")
                     else:
                         # forward/self reference: the group cannot have
                         # captured yet -> ECMA matches empty
