@@ -407,6 +407,38 @@ def _q_jaccard_verify(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_embedding_dup_clusters(sf_dir: str):
+    """Connected components over embedding near-dup pairs: plant one extra
+    copy of vec_id < 20 and a second copy of vec_id < 10, so components of
+    size 3 (transitive closure across two planted pairs) and 2 both occur.
+    Identical vectors co-bucket in every LSH table (guaranteed recall) and
+    the max organic cosine in the corpus is ~0.51, so the SQL brute-force
+    pair set matches the LSH candidate set exactly at threshold 0.99."""
+    import pyarrow.compute as pc
+    from engine.dedup import embedding_near_duplicates
+    from engine.cluster import connected_components
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _planted(limit: int, offset: int):
+        def _fn(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.less(b.column("vec_id"), limit))
+            return pa.table({
+                "vec_id": pc.add(sub.column("vec_id"), offset),
+                "embedding": sub.column("embedding")})
+        return _fn
+
+    aug = base.union(
+        base.map_batches(_planted(20, 1_000_000), batch_format="pyarrow"),
+        base.map_batches(_planted(10, 2_000_000), batch_format="pyarrow"))
+    pairs = embedding_near_duplicates(aug, threshold=0.99)
+    comps = connected_components(pairs)
+
+    def _name(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b.column("node"),
+                         "cluster_id": b.column("cluster_id")})
+    return comps.map_batches(_name, batch_format="pyarrow").sort("vec_id")
+
+
 def _q_near_dup_survivors(sf_dir: str):
     """Deduplicated corpus view: every near-dup cluster keeps only its
     minimum doc_id (resolve_duplicates over the oracled cluster edges);
@@ -692,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "jaccard_verify": _q_jaccard_verify,
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_survivors": _q_near_dup_survivors,
@@ -1088,6 +1121,30 @@ def oracle_sql() -> dict[str, str]:
               from aug a join aug b on a.vec_id < b.vec_id)
             select key_a, key_b, round(cos, 4) as cosine
             from pairs where cos >= 0.99
+        """,
+        "embedding_dup_clusters": """
+            with recursive
+            aug as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000, embedding from embeddings
+              where vec_id < 20
+              union all
+              select vec_id + 2000000, embedding from embeddings
+              where vec_id < 10),
+            e as (
+              select a.vec_id as u, b.vec_id as v
+              from aug a join aug b on a.vec_id < b.vec_id
+              where list_cosine_similarity(a.embedding::double[],
+                                           b.embedding::double[]) >= 0.99),
+            sym as (select u as a, v as b from e
+                    union all select v, u from e),
+            reach(node, l) as (
+              select distinct a, a from sym
+              union
+              select s.b, r.l from reach r join sym s on s.a = r.node)
+            select node as vec_id, min(l) as cluster_id
+            from reach group by node order by vec_id
         """,
 
         "language_id": r'''
