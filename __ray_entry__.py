@@ -600,6 +600,18 @@ def _q_sample_fraction(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-language stratified sample of documents: 30% of 'en', 10% of
+    'de', 5% of everything else — deterministic md5 buckets salted with
+    the stratum, SQL-reproducible."""
+    from engine.sampling import stratified_sample
+    out = stratified_sample(
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        {"en": 0.30, "de": 0.10}, strat_col="lang", key_col="doc_id",
+        default_frac=0.05)
+    return out.select_columns(["doc_id", "lang"]).sort("doc_id")
+
+
 def _q_events_props_validation(sf_dir: str):
     from engine.dataset import validate_json_column
     schema = ('{"type":"object","required":["k"],'
@@ -756,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic sampling / splits
         "train_test_split": _q_train_test_split,
         "sample_fraction": _q_sample_fraction,
+        "stratified_sample_docs": _q_stratified_sample,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1075,6 +1088,17 @@ def oracle_sql() -> dict[str, str]:
             select doc_id from documents
             where substr(md5(cast(doc_id as varchar)), 1, 8)
                   < printf('%08x', {int(0.25 * 2**32)})
+        """,
+        "stratified_sample_docs": f"""
+            select doc_id, lang from documents
+            where substr(md5(cast(doc_id as varchar) || '|'
+                             || coalesce(lang, '')), 1, 8)
+                  < case coalesce(lang, '')
+                      when 'en' then printf('%08x', {int(0.30 * 2**32)})
+                      when 'de' then printf('%08x', {int(0.10 * 2**32)})
+                      else printf('%08x', {int(0.05 * 2**32)})
+                    end
+            order by doc_id
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

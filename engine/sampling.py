@@ -76,6 +76,45 @@ def sample_fraction(ds, frac: float, *, key_col: str = "doc_id",
                           batch_size=batch_size, concurrency=concurrency)
 
 
+def stratified_sample(ds, fractions: dict, *, strat_col: str,
+                      key_col: str = "doc_id", default_frac: float = 0.0,
+                      fast: bool = False, batch_size: int = 65536,
+                      concurrency=None):
+    """Deterministic per-stratum sampling: stratum ``g`` keeps ~
+    ``fractions[g]`` of its rows (``default_frac`` otherwise), selected by
+    a hash bucket of ``key || '|' || stratum`` — salting with the stratum
+    decorrelates the kept key sets across strata, so downsampling one
+    class never biases another.
+
+    Map-only like the other samplers: no shuffle, no global state, stable
+    under any parallelism / block order / resume point. The per-stratum
+    threshold table is O(strata) and rides the task closure. The md5 mode
+    is SQL-reproducible (DuckDB ``substr(md5(key || '|' ||
+    coalesce(stratum, '')),1,8)`` against per-stratum
+    ``printf('%08x', t)`` thresholds); ``fast=True`` swaps in the
+    splitmix hash for the 100 TB hot path. A NULL stratum salts with the
+    empty string and samples at ``default_frac``.
+    """
+    thresholds = {g: int(f * BUCKETS) for g, f in fractions.items()}
+    default_thr = int(default_frac * BUCKETS)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        strata = batch.column(strat_col).to_pylist()
+        combined = [f"{k}|{'' if s is None else s}"
+                    for k, s in zip(keys, strata)]
+        if fast:
+            b = _fast_buckets(np.array(combined, dtype=object))
+        else:
+            b = _md5_buckets(combined)
+        thr = np.array([thresholds.get(s, default_thr) for s in strata],
+                       dtype=np.int64)
+        return batch.filter(pa.array(b < thr))
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
 def reservoir_sample(ds, k: int, *, seed: int = 23,
                      batch_size: int = 65536) -> pa.Table:
     """Exact-size uniform sample via per-batch weighted keep + driver merge:
