@@ -600,6 +600,21 @@ def _q_sample_fraction(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _q_exact_quantiles(sf_dir: str):
+    """Exact quantile_cont over l_extendedprice via the distributed
+    selection operator (three map-only passes; the corpus never shuffles)
+    — bit-compatible with DuckDB's interpolation."""
+    from engine.stats import exact_quantiles
+    qs = [0.25, 0.5, 0.75, 0.95]
+    got = exact_quantiles(
+        _read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(_round_half_away(
+            np.array([got[q] for q in qs]), 4), pa.float64())})
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-language stratified sample of documents: 30% of 'en', 10% of
     'de', 5% of everything else — deterministic md5 buckets salted with
@@ -769,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "sample_fraction": _q_sample_fraction,
         "stratified_sample_docs": _q_stratified_sample,
+        "exact_quantiles_lineitem": _q_exact_quantiles,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1099,6 +1115,21 @@ def oracle_sql() -> dict[str, str]:
                       else printf('%08x', {int(0.05 * 2**32)})
                     end
             order by doc_id
+        """,
+        "exact_quantiles_lineitem": """
+            select 0.25::double as q,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) as value
+            from lineitem
+            union all select 0.5::double,
+                   round(quantile_cont(l_extendedprice, 0.5), 4)
+            from lineitem
+            union all select 0.75::double,
+                   round(quantile_cont(l_extendedprice, 0.75), 4)
+            from lineitem
+            union all select 0.95::double,
+                   round(quantile_cont(l_extendedprice, 0.95), 4)
+            from lineitem
+            order by q
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

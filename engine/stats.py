@@ -160,3 +160,184 @@ def column_stats(ds, columns: Optional[Sequence[str]] = None, *,
         zero_copy_batch=True, batch_size=batch_size, concurrency=concurrency)
     return partials.groupby("column").map_groups(
         _merge_stats_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (selection, not sketch)
+
+
+def exact_quantiles(ds, col: str, qs: Sequence[float], *,
+                    sample_per_block: int = 128, n_candidates: int = 1024,
+                    bracket_limit: int = 2_000_000, max_refine: int = 4,
+                    batch_size: int = 65536):
+    """EXACT ``quantile_cont``-style quantiles of a numeric column — a
+    distributed selection algorithm, not a sketch (`column_stats` already
+    provides t-digest approximations; this is the bit-exact path an oracle
+    or an SLA check needs).
+
+    Three map-only passes, none of which shuffles the corpus:
+
+    1. per-batch (count, evenly-spaced sorted sample) partials, tree-merged
+       (engine/shuffle.tree_reduce) into <= ``n_candidates`` candidate
+       pivots — driver traffic is O(actors), never O(batches);
+    2. one vectorized rank-count pass: each batch emits the
+       ``count(x < c)`` / ``count(x <= c)`` vectors against the broadcast
+       candidates (two np.searchsorted calls per batch), tree-summed;
+       a target rank whose value IS a candidate (tie mass straddles it)
+       resolves immediately;
+    3. a sparse bracket fetch for unresolved ranks — only values strictly
+       inside the bracketing candidate gap (expected n/n_candidates rows)
+       ever reach one worker task; if an adversarial gap exceeds
+       ``bracket_limit`` the pass recurses inside the gap instead of
+       fetching it.
+
+    Returns {q: float value} with ``quantile_cont`` linear interpolation
+    (position q*(n-1)), matching DuckDB bit-for-bit.
+    """
+    import ray
+    from engine.shuffle import tree_reduce
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = pc.drop_null(b.column(col)).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = v[~np.isnan(v)]
+        v.sort()
+        if len(v) > sample_per_block:
+            idx = np.linspace(0, len(v) - 1, sample_per_block)
+            samp = v[idx.astype(np.int64)]
+        else:
+            samp = v
+        return pa.table({"cnt": pa.array([len(v)], pa.int64()),
+                         "samp": pa.array([samp.tolist()],
+                                          pa.list_(pa.float64()))})
+
+    def _merge(tbl: pa.Table) -> pa.Table:
+        cnt = int(pc.sum(tbl.column("cnt")).as_py() or 0)
+        flat = np.concatenate([np.asarray(x, dtype=np.float64)
+                               for x in tbl.column("samp").to_pylist()]
+                              or [np.array([], dtype=np.float64)])
+        flat.sort()
+        if len(flat) > n_candidates:
+            idx = np.linspace(0, len(flat) - 1, n_candidates)
+            flat = flat[idx.astype(np.int64)]
+        return pa.table({"cnt": pa.array([cnt], pa.int64()),
+                         "samp": pa.array([flat.tolist()],
+                                          pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    merged = tree_reduce(parts, _merge).to_pandas()
+    n = int(merged["cnt"].sum())
+    if n == 0:
+        return {float(q): float("nan") for q in qs}
+    cand = np.sort(np.concatenate(
+        [np.asarray(x, dtype=np.float64) for x in merged["samp"]]))
+    if len(cand) > n_candidates:
+        idx = np.linspace(0, len(cand) - 1, n_candidates)
+        cand = cand[idx.astype(np.int64)]
+    cand = np.unique(cand)
+
+    def _rank_counts(candidates):
+        """Tree-summed (count(x < c), count(x <= c)) over the corpus."""
+        ref = ray.put(candidates)
+
+        class _Ranks:
+            def __init__(self, r):
+                self.r = r
+                self._c = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if self._c is None:
+                    self._c = ray.get(self.r) if isinstance(
+                        self.r, ray.ObjectRef) else self.r
+                v = pc.drop_null(b.column(col)) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[~np.isnan(v)]
+                v.sort()
+                lt = np.searchsorted(v, self._c, side="left")
+                le = np.searchsorted(v, self._c, side="right")
+                return pa.table({
+                    "lt": pa.array([lt.tolist()], pa.list_(pa.int64())),
+                    "le": pa.array([le.tolist()], pa.list_(pa.int64()))})
+
+        def _sum(tbl: pa.Table) -> pa.Table:
+            lt = np.sum([np.asarray(x, dtype=np.int64)
+                         for x in tbl.column("lt").to_pylist()], axis=0)
+            le = np.sum([np.asarray(x, dtype=np.int64)
+                         for x in tbl.column("le").to_pylist()], axis=0)
+            return pa.table({
+                "lt": pa.array([lt.tolist()], pa.list_(pa.int64())),
+                "le": pa.array([le.tolist()], pa.list_(pa.int64()))})
+
+        rp = ds.map_batches(_Ranks(ref), batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+        out = tree_reduce(rp, _sum).to_pandas()
+        lt = np.sum([np.asarray(x, dtype=np.int64) for x in out["lt"]],
+                    axis=0)
+        le = np.sum([np.asarray(x, dtype=np.int64) for x in out["le"]],
+                    axis=0)
+        return lt, le
+
+    def _value_at_rank(k: int, cand, lt, le, depth: int = 0) -> float:
+        """Exact value of sorted[k] (0-based)."""
+        # resolved by tie mass: some candidate c has count(<c) <= k < (<=c)
+        hit = np.flatnonzero((lt <= k) & (k < le))
+        if len(hit):
+            return float(cand[hit[0]])
+        # bracket: largest c with count(<=c) <= k, smallest c with
+        # count(<c) > k
+        lo_i = np.flatnonzero(le <= k)
+        hi_i = np.flatnonzero(lt > k)
+        lo = float(cand[lo_i[-1]]) if len(lo_i) else -np.inf
+        hi = float(cand[hi_i[0]]) if len(hi_i) else np.inf
+        base = int(le[lo_i[-1]]) if len(lo_i) else 0
+        gap = (int(lt[hi_i[0]]) if len(hi_i) else n) - base
+        if gap > bracket_limit and depth < max_refine:
+            sub, slt, sle = _refine(lo, hi, base)
+            return _value_at_rank(k, sub, slt, sle, depth + 1)
+
+        def _fetch(b: pa.Table) -> pa.Table:
+            v = pc.drop_null(b.column(col)) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[(v > lo) & (v < hi) & ~np.isnan(v)]
+            return pa.table({"v": pa.array(v, pa.float64())})
+
+        vals = np.sort(ds.map_batches(
+            _fetch, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=batch_size).to_pandas()["v"].to_numpy())
+        return float(vals[k - base])
+
+    def _refine(lo: float, hi: float, base: int):
+        """Re-run the candidate pass restricted to the open gap (lo, hi)."""
+        def _gap_partial(b: pa.Table) -> pa.Table:
+            v = pc.drop_null(b.column(col)) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[(v > lo) & (v < hi) & ~np.isnan(v)]
+            v.sort()
+            if len(v) > sample_per_block:
+                idx = np.linspace(0, len(v) - 1, sample_per_block)
+                v = v[idx.astype(np.int64)]
+            return pa.table({"cnt": pa.array([0], pa.int64()),
+                             "samp": pa.array([v.tolist()],
+                                              pa.list_(pa.float64()))})
+
+        gp = ds.map_batches(_gap_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+        gm = tree_reduce(gp, _merge).to_pandas()
+        sub = np.unique(np.sort(np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in gm["samp"]])))
+        slt, sle = _rank_counts(sub)
+        return sub, slt, sle
+
+    lt, le = _rank_counts(cand)
+    out = {}
+    cache: dict = {}
+    for q in qs:
+        p = float(q) * (n - 1)
+        k0, k1 = int(np.floor(p)), int(np.ceil(p))
+        for k in (k0, k1):
+            if k not in cache:
+                cache[k] = _value_at_rank(k, cand, lt, le)
+        frac = p - k0
+        out[float(q)] = cache[k0] + (cache[k1] - cache[k0]) * frac
+    return out

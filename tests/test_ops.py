@@ -638,3 +638,47 @@ class TestGroupedTopK:
                            ascending=True).to_pandas() \
             .sort_values(["g", "s"]).reset_index(drop=True)
         assert out["i"].tolist() == [11, 12, 13]  # two lowest of a, all of b
+
+
+class TestExactQuantiles:
+    def test_vs_duckdb_quantile_cont(self, rds):
+        from engine.stats import exact_quantiles
+        qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        got = exact_quantiles(rds("lineitem"), "l_extendedprice", qs)
+        for q in qs:
+            exp = duckdb.sql(
+                f"select quantile_cont(l_extendedprice, {q}) "
+                f"from read_parquet('{SF}/lineitem.parquet')").fetchone()[0]
+            assert abs(got[q] - exp) < 1e-9, q
+
+    def test_heavy_ties_and_refinement(self, ray_session):
+        """A column that is 90% one value (tie mass) plus a dense tail,
+        with tiny candidate budget to force the refinement recursion."""
+        import ray.data
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([np.full(9000, 42.0), rng.normal(0, 1, 1000)])
+        rng.shuffle(vals)
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})) \
+            .repartition(8)
+        from engine.stats import exact_quantiles
+        got = exact_quantiles(ds, "x", [0.5, 0.97, 0.999],
+                              sample_per_block=4, n_candidates=8,
+                              bracket_limit=50, max_refine=3)
+        s = np.sort(vals)
+        for q in (0.5, 0.97, 0.999):
+            p = q * (len(s) - 1)
+            k0, k1 = int(np.floor(p)), int(np.ceil(p))
+            exp = s[k0] + (s[k1] - s[k0]) * (p - k0)
+            assert abs(got[q] - exp) < 1e-12, q
+
+    def test_empty_and_nulls(self, ray_session):
+        import ray.data
+        from engine.stats import exact_quantiles
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array([None, None], pa.float64())}))
+        got = exact_quantiles(ds, "x", [0.5])
+        assert np.isnan(got[0.5])
+        ds2 = ray.data.from_arrow(pa.table({
+            "x": pa.array([None, 3.0, 1.0, None, 2.0], pa.float64())}))
+        got2 = exact_quantiles(ds2, "x", [0.5])
+        assert got2[0.5] == 2.0
