@@ -615,6 +615,16 @@ def _q_exact_quantiles(sf_dir: str):
             np.array([got[q] for q in qs]), 4), pa.float64())})
 
 
+def _q_outlier_events(sf_dir: str):
+    """Tukey-fence outliers on events.value — fences from the exact
+    quantile operator, so the flagged row set is deterministic and
+    SQL-reproducible."""
+    from engine.stats import iqr_outliers
+    out = iqr_outliers(_read(sf_dir, "events",
+                             columns=["event_id", "value"]), "value")
+    return out.select_columns(["event_id", "value"]).sort("event_id")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-language stratified sample of documents: 30% of 'en', 10% of
     'de', 5% of everything else — deterministic md5 buckets salted with
@@ -785,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fraction": _q_sample_fraction,
         "stratified_sample_docs": _q_stratified_sample,
         "exact_quantiles_lineitem": _q_exact_quantiles,
+        "outlier_events": _q_outlier_events,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1130,6 +1141,15 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 4)
             from lineitem
             order by q
+        """,
+        "outlier_events": """
+            with q as (select quantile_cont(value, 0.25) as q1,
+                              quantile_cont(value, 0.75) as q3
+                       from events)
+            select event_id, value from events, q
+            where value < q1 - 1.5 * (q3 - q1)
+               or value > q3 + 1.5 * (q3 - q1)
+            order by event_id
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

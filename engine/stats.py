@@ -341,3 +341,26 @@ def exact_quantiles(ds, col: str, qs: Sequence[float], *,
         frac = p - k0
         out[float(q)] = cache[k0] + (cache[k1] - cache[k0]) * frac
     return out
+
+
+def iqr_outliers(ds, col: str, *, k: float = 1.5,
+                 batch_size: int = 65536):
+    """Rows outside the Tukey fences ``[q1 - k*IQR, q3 + k*IQR]`` of
+    ``col`` — the classic data-quality outlier screen, with the EXACT
+    quantile operator supplying the fences (a sketch-derived fence would
+    flag different rows on different runs; this one is deterministic and
+    SQL-reproducible). The fence scan is map-only; NULL/NaN rows never
+    match."""
+    q = exact_quantiles(ds, col, [0.25, 0.75], batch_size=batch_size)
+    iqr = q[0.75] - q[0.25]
+    lo, hi = q[0.25] - k * iqr, q[0.75] + k * iqr
+
+    def _f(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            mask = ((v < lo) | (v > hi)) & ~np.isnan(v)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

@@ -682,3 +682,20 @@ class TestExactQuantiles:
             "x": pa.array([None, 3.0, 1.0, None, 2.0], pa.float64())}))
         got2 = exact_quantiles(ds2, "x", [0.5])
         assert got2[0.5] == 2.0
+
+
+class TestIqrOutliers:
+    def test_vs_duckdb(self, rds):
+        from engine.stats import iqr_outliers
+        got = iqr_outliers(rds("events"), "value").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            with q as (select quantile_cont(value, 0.25) q1,
+                              quantile_cont(value, 0.75) q3
+                       from read_parquet('{SF}/events.parquet'))
+            select event_id, value
+            from read_parquet('{SF}/events.parquet'), q
+            where value < q1 - 1.5*(q3-q1) or value > q3 + 1.5*(q3-q1)
+            order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
