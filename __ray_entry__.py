@@ -615,6 +615,25 @@ def _q_exact_quantiles(sf_dir: str):
             np.array([got[q] for q in qs]), 4), pa.float64())})
 
 
+def _q_rolling_user_mean(sf_dir: str):
+    """Per-user trailing 3-hour rolling mean of event values — RANGE-frame
+    window parity (tie peers included, composite-timestamp vectorization,
+    no per-user Python loop)."""
+    from engine.relational import rolling_window_mean
+    out = rolling_window_mean(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        window_seconds=3 * 3600)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "rolling_mean": pa.array(_round_half_away(
+                b.column("rolling_mean").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_outlier_events(sf_dir: str):
     """Tukey-fence outliers on events.value — fences from the exact
     quantile operator, so the flagged row set is deterministic and
@@ -796,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "exact_quantiles_lineitem": _q_exact_quantiles,
         "outlier_events": _q_outlier_events,
+        "rolling_user_mean": _q_rolling_user_mean,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1150,6 +1170,14 @@ def oracle_sql() -> dict[str, str]:
             where value < q1 - 1.5 * (q3 - q1)
                or value > q3 + 1.5 * (q3 - q1)
             order by event_id
+        """,
+        "rolling_user_mean": """
+            select event_id,
+                   round(avg(value) over (
+                       partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row), 4) as rolling_mean
+            from events order by event_id
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

@@ -359,6 +359,69 @@ def grouped_topk(ds, *, group_col: str, score_col: str, id_col: str,
         .groupby("part").map_groups(_final, batch_format="pandas")
 
 
+def rolling_window_mean(ds, *, key_col: str = "user_id",
+                        ts_col: str = "ts", val_col: str = "value",
+                        id_col: str = "event_id",
+                        window_seconds: float = 3 * 3600,
+                        batch_size: int = 65536):
+    """Per-key rolling mean over a trailing time window — SQL ``avg(...)
+    OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <w> PRECEDING AND
+    CURRENT ROW)`` semantics, including tie peers at the current row's
+    timestamp and NULL-skipping averages.
+
+    Scale shape: whole keys co-locate on P coarse hash partitions
+    (P tracks cluster CPUs) and ONE vectorized pass runs per partition —
+    the per-key window arithmetic uses a monotone composite timestamp
+    (each key's times shifted into a disjoint range separated by more than
+    the window), so a single ``np.searchsorted`` pair + prefix sums
+    computes every frame without a per-key Python loop. Only the events
+    table shuffles, once, by key hash.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _roll(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "rolling_mean": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        ts = sub[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
+        else:
+            t = ts.astype(np.float64)
+        keys = sub[key_col].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        key_ord = np.cumsum(new_key) - 1
+        span = (t.max() - t.min()) + window_seconds + 1.0
+        m = key_ord * span + (t - t.min())
+        v = sub[val_col].to_numpy().astype(np.float64)
+        ok = ~np.isnan(v)
+        cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+        cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        j = np.searchsorted(m, m - window_seconds, side="left")
+        e = np.searchsorted(m, m, side="right")
+        sums = cs[e] - cs[j]
+        cnts = cw[e] - cw[j]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "rolling_mean": mean})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_roll, batch_format="pandas")
+
+
 def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                          segment: str = "BUILDING",
                          cutoff: str = "1998-06-01", k: int = 10,

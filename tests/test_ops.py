@@ -699,3 +699,39 @@ class TestIqrOutliers:
             order by event_id
         """).df()
         assert got["event_id"].tolist() == exp["event_id"].tolist()
+
+
+class TestRollingWindowMean:
+    def test_vs_duckdb_range_frame(self, rds):
+        from engine.relational import rolling_window_mean
+        got = rolling_window_mean(rds("events")).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_id,
+                   avg(value) over (partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row) as rolling_mean
+            from read_parquet('{SF}/events.parquet') order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert np.allclose(got["rolling_mean"], exp["rolling_mean"])
+
+    def test_tie_peers_and_nulls(self, ray_session):
+        """RANGE frames include ALL peers at the current timestamp (even
+        rows sorted after it) and skip NULL values in the average."""
+        import pandas as pd
+        import ray.data
+        ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:30",
+                             "2024-01-01 00:30", "2024-01-01 05:00"])
+        t = pa.table({"event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                      "ts": pa.array(ts),
+                      "value": pa.array([10.0, None, 4.0, 8.0])})
+        from engine.relational import rolling_window_mean
+        got = rolling_window_mean(ray.data.from_arrow(t),
+                                  window_seconds=3600).to_pandas() \
+            .set_index("event_id")["rolling_mean"]
+        assert got[1] == 10.0          # alone in frame
+        assert got[2] == 7.0           # peers: 10 and 4 (NULL skipped)
+        assert got[3] == 7.0           # same frame as its tie peer
+        assert got[4] == 8.0           # window expired
