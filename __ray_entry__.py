@@ -615,6 +615,34 @@ def _q_exact_quantiles(sf_dir: str):
             np.array([got[q] for q in qs]), 4), pa.float64())})
 
 
+def _q_asof_last_purchase(sf_dir: str):
+    """Point-in-time join: for every non-purchase event, the value of the
+    user's latest purchase at or before the event (DuckDB ASOF JOIN
+    parity; right-side ties dedup to the greatest event_id)."""
+    from engine.relational import asof_join
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _split(want_purchase: bool):
+        def _fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.equal(b.column("event_type"), "purchase")
+            return b.filter(m if want_purchase else pc.invert(m))
+        return _fn
+
+    left = ev.map_batches(_split(False), batch_format="pyarrow")
+    right = ev.map_batches(_split(True), batch_format="pyarrow")
+    out = asof_join(left, right)
+
+    def _name(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "last_purchase_value": _pc.cast(b.column("value"),
+                                            pa.float64())})
+    return out.map_batches(_name, batch_format="pyarrow").sort("event_id")
+
+
 def _q_rolling_user_mean(sf_dir: str):
     """Per-user trailing 3-hour rolling mean of event values — RANGE-frame
     window parity (tie peers included, composite-timestamp vectorization,
@@ -816,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_lineitem": _q_exact_quantiles,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
+        "asof_last_purchase": _q_asof_last_purchase,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1178,6 +1207,18 @@ def oracle_sql() -> dict[str, str]:
                        range between interval 3 hours preceding
                              and current row), 4) as rolling_mean
             from events order by event_id
+        """,
+        "asof_last_purchase": """
+            with l as (select event_id, user_id, ts from events
+                       where event_type <> 'purchase'),
+            r as (select user_id, ts, value from events
+                  where event_type = 'purchase'
+                  qualify row_number() over (partition by user_id, ts
+                                             order by event_id desc) = 1)
+            select l.event_id, r.value as last_purchase_value
+            from l asof join r
+              on l.user_id = r.user_id and l.ts >= r.ts
+            order by l.event_id
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

@@ -422,6 +422,88 @@ def rolling_window_mean(ds, *, key_col: str = "user_id",
         .groupby("part").map_groups(_roll, batch_format="pandas")
 
 
+def asof_join(left, right, *, key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value",
+              left_id_col: str = "event_id", right_id_col: str = "event_id",
+              batch_size: int = 65536):
+    """Point-in-time (as-of) inner join: each left row matches the latest
+    right row of the same key with ``right.ts <= left.ts`` — DuckDB
+    ``ASOF JOIN`` semantics. Right-side (key, ts) ties dedup to the row
+    with the greatest ``right_id_col`` so the match is deterministic.
+
+    Ray Data has no asof join; this composes one from the primitives the
+    repo already relies on: both sides co-partition ONCE by key hash
+    (whole keys per partition), and one vectorized pass per partition
+    matches every left row via a single ``searchsorted`` over the right
+    side's monotone composite timestamp (each key's times shifted into
+    disjoint ranges) — no per-key Python loop, no driver state. Returns
+    (left_id, key, value) for matched rows.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = ["id", "key", "t", "val", "side"]
+
+    def _tag(side: int, id_col: str, with_val: bool):
+        def _fn(df):
+            if key_col not in df.columns or not len(df):
+                return pd.DataFrame({c: [] for c in cols + ["part"]})
+            ts = df[ts_col].to_numpy()
+            if np.issubdtype(ts.dtype, np.datetime64):
+                t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
+            else:
+                t = ts.astype(np.float64)
+            keys = df[key_col].to_numpy()
+            return pd.DataFrame({
+                "id": df[id_col].to_numpy(),
+                "key": keys, "t": t,
+                "val": df[value_col].to_numpy().astype(np.float64)
+                if with_val else np.full(len(df), np.nan),
+                "side": np.full(len(df), side, dtype=np.int8),
+                "part": (hash64(keys) % np.uint64(P)).astype(np.int64)})
+        return _fn
+
+    def _match(df):
+        out_cols = {left_id_col: [], key_col: [], value_col: []}
+        if "key" not in df.columns or not len(df):
+            return pd.DataFrame(out_cols)
+        l = df[df["side"] == 0]
+        r = df[df["side"] == 1]
+        if not len(l) or not len(r):
+            return pd.DataFrame(out_cols)
+        # dedup right (key, t) ties to the greatest right id, then sort
+        r = r.sort_values(["key", "t", "id"], kind="mergesort") \
+            .drop_duplicates(["key", "t"], keep="last")
+        uk = pd.Index(pd.unique(np.concatenate(
+            [r["key"].to_numpy(), l["key"].to_numpy()])))
+        t_all = np.concatenate([r["t"].to_numpy(), l["t"].to_numpy()])
+        tmin = t_all.min()
+        span = (t_all.max() - tmin) + 1.0
+        ko_r = uk.get_indexer(r["key"].to_numpy())
+        ko_l = uk.get_indexer(l["key"].to_numpy())
+        m_r = ko_r * span + (r["t"].to_numpy() - tmin)
+        m_l = ko_l * span + (l["t"].to_numpy() - tmin)
+        order = np.argsort(m_r, kind="mergesort")
+        m_r = m_r[order]
+        r_keys = r["key"].to_numpy()[order]
+        r_vals = r["val"].to_numpy()[order]
+        idx = np.searchsorted(m_r, m_l, side="right") - 1
+        safe = np.clip(idx, 0, len(m_r) - 1)
+        valid = (idx >= 0) & (r_keys[safe] == l["key"].to_numpy())
+        return pd.DataFrame({
+            left_id_col: l["id"].to_numpy()[valid],
+            key_col: l["key"].to_numpy()[valid],
+            value_col: r_vals[safe][valid]})
+
+    u = left.map_batches(_tag(0, left_id_col, False),
+                         batch_format="pandas", batch_size=batch_size) \
+        .union(right.map_batches(_tag(1, right_id_col, True),
+                                 batch_format="pandas",
+                                 batch_size=batch_size))
+    return u.groupby("part").map_groups(_match, batch_format="pandas")
+
+
 def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                          segment: str = "BUILDING",
                          cutoff: str = "1998-06-01", k: int = 10,

@@ -735,3 +735,55 @@ class TestRollingWindowMean:
         assert got[2] == 7.0           # peers: 10 and 4 (NULL skipped)
         assert got[3] == 7.0           # same frame as its tie peer
         assert got[4] == 8.0           # window expired
+
+
+class TestAsofJoin:
+    def test_semantics(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import asof_join
+        lt = pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00",
+                             "2024-01-01 00:30"])
+        left = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 9], pa.int64()),
+            "ts": pa.array(lt),
+            "value": pa.array([0.0, 0.0, 0.0])}))
+        rt = pd.to_datetime(["2024-01-01 00:45", "2024-01-01 01:30",
+                             "2024-01-01 01:30", "2024-01-01 03:00"])
+        right = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array(rt),
+            "value": pa.array([100.0, 200.0, 300.0, 400.0])}))
+        out = asof_join(left, right).to_pandas() \
+            .set_index("event_id")["value"]
+        assert out[1] == 100.0        # latest right <= 01:00 is 00:45
+        assert out[2] == 300.0        # tie at 01:30 deduped to max id (12)
+        assert 3 not in out.index     # user 9: right row is AFTER left ts
+        # user 9's event at 00:30 precedes its only purchase: no match
+
+    def test_vs_duckdb_asof(self, rds):
+        import pyarrow.compute as pc
+        from engine.relational import asof_join
+        ev = rds("events")
+        left = ev.map_batches(lambda b: b.filter(pc.invert(pc.equal(
+            b.column("event_type"), "purchase"))), batch_format="pyarrow")
+        right = ev.map_batches(lambda b: b.filter(pc.equal(
+            b.column("event_type"), "purchase")), batch_format="pyarrow")
+        got = asof_join(left, right).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            with e as (select * from read_parquet('{SF}/events.parquet')),
+            l as (select event_id, user_id, ts from e
+                  where event_type <> 'purchase'),
+            r as (select user_id, ts, value from e
+                  where event_type = 'purchase'
+                  qualify row_number() over (partition by user_id, ts
+                                             order by event_id desc) = 1)
+            select l.event_id, r.value from l asof join r
+              on l.user_id = r.user_id and l.ts >= r.ts
+            order by l.event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert np.allclose(got["value"], exp["value"])
