@@ -76,8 +76,8 @@ class TestConnectedComponents:
         union-find fast path on a graph with a non-trivial diameter."""
         from engine.cluster import connected_components
         rng = np.random.default_rng(7)
-        edges = [(i, i + 1) for i in range(12)]           # chain
-        edges += [(int(a), int(b)) for a, b in rng.integers(20, 60, (25, 2))
+        edges = [(i, i + 1) for i in range(6)]            # chain
+        edges += [(int(a), int(b)) for a, b in rng.integers(20, 40, (12, 2))
                   if a != b]
         fast = _cc_dict(_pairs_ds(edges))
         dist_df = connected_components(
