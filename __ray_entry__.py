@@ -643,6 +643,37 @@ def _q_asof_last_purchase(sf_dir: str):
     return out.map_batches(_name, batch_format="pyarrow").sort("event_id")
 
 
+def _q_events_after_purchase(sf_dir: str):
+    """Range join: every non-purchase event inside the 2-hour window after
+    a purchase by the same user (overlapping windows emit one row per
+    match) — bounded-length interval-join parity with a DuckDB
+    inequality join."""
+    from engine.relational import interval_join
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _points(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.filter(_pc.invert(_pc.equal(b.column("event_type"),
+                                             "purchase")))
+
+    def _windows(df):
+        import pandas as pd
+        sub = df[df["event_type"] == "purchase"]
+        return pd.DataFrame({
+            "purchase_id": sub["event_id"].to_numpy(),
+            "user_id": sub["user_id"].to_numpy(),
+            "start": sub["ts"].to_numpy(),
+            "end": sub["ts"].to_numpy() + np.timedelta64(2, "h")})
+
+    out = interval_join(
+        ev.map_batches(_points, batch_format="pyarrow"),
+        ev.map_batches(_windows, batch_format="pandas"),
+        max_duration_s=7200.0, interval_id_col="purchase_id")
+    return out.select_columns(["event_id", "purchase_id"]) \
+        .sort(["event_id", "purchase_id"])
+
+
 def _q_rolling_user_mean(sf_dir: str):
     """Per-user trailing 3-hour rolling mean of event values — RANGE-frame
     window parity (tie peers included, composite-timestamp vectorization,
@@ -845,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
+        "events_after_purchase": _q_events_after_purchase,
         # dynamic JSON column validation
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
@@ -1219,6 +1251,17 @@ def oracle_sql() -> dict[str, str]:
             from l asof join r
               on l.user_id = r.user_id and l.ts >= r.ts
             order by l.event_id
+        """,
+        "events_after_purchase": """
+            select l.event_id, r.event_id as purchase_id
+            from (select event_id, user_id, ts from events
+                  where event_type <> 'purchase') l
+            join (select event_id, user_id, ts from events
+                  where event_type = 'purchase') r
+              on l.user_id = r.user_id
+             and l.ts >= r.ts
+             and l.ts < r.ts + interval 2 hours
+            order by l.event_id, purchase_id
         """,
         "streaming_windows": """
             select user_id, date_trunc('hour', ts) as window_start,

@@ -504,6 +504,110 @@ def asof_join(left, right, *, key_col: str = "user_id",
     return u.groupby("part").map_groups(_match, batch_format="pandas")
 
 
+def interval_join(points, intervals, *, key_col: str = "user_id",
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", max_duration_s: float,
+                  point_id_col: str = "event_id",
+                  interval_id_col: str = "interval_id",
+                  batch_size: int = 65536):
+    """Range join: every (point, interval) pair of the same key with
+    ``start <= ts < end`` — overlapping intervals per key emit one row per
+    match.
+
+    ``max_duration_s`` must bound every interval's length (the classic
+    bounded-range-join contract; split longer intervals upstream). With
+    that bound, a point's candidate intervals are exactly those whose
+    start falls in ``(ts - max_duration, ts]`` — one vectorized
+    searchsorted window over the start-sorted intervals per coarse key
+    partition, expanded with repeat/cumsum arithmetic (no per-point
+    Python loop), then filtered by ``end > ts``. Both sides shuffle once,
+    by key hash. Returns (point_id, interval_id, key).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _to_sec(arr):
+        if np.issubdtype(arr.dtype, np.datetime64):
+            return arr.astype("datetime64[ns]").astype(np.int64) / 1e9
+        return arr.astype(np.float64)
+
+    def _tag_points(df):
+        cols = {"id": [], "key": [], "t0": [], "t1": [], "side": [],
+                "part": []}
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame(cols)
+        keys = df[key_col].to_numpy()
+        t = _to_sec(df[ts_col].to_numpy())
+        return pd.DataFrame({
+            "id": df[point_id_col].to_numpy(), "key": keys,
+            "t0": t, "t1": t,
+            "side": np.zeros(len(df), dtype=np.int8),
+            "part": (hash64(keys) % np.uint64(P)).astype(np.int64)})
+
+    def _tag_intervals(df):
+        cols = {"id": [], "key": [], "t0": [], "t1": [], "side": [],
+                "part": []}
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame(cols)
+        keys = df[key_col].to_numpy()
+        s = _to_sec(df[start_col].to_numpy())
+        e = _to_sec(df[end_col].to_numpy())
+        if len(s) and float(np.max(e - s)) > max_duration_s:
+            raise ValueError("interval longer than max_duration_s; "
+                             "split long intervals upstream")
+        return pd.DataFrame({
+            "id": df[interval_id_col].to_numpy(), "key": keys,
+            "t0": s, "t1": e,
+            "side": np.ones(len(df), dtype=np.int8),
+            "part": (hash64(keys) % np.uint64(P)).astype(np.int64)})
+
+    def _match(df):
+        out_cols = {point_id_col: [], interval_id_col: [], key_col: []}
+        if "key" not in df.columns or not len(df):
+            return pd.DataFrame(out_cols)
+        p = df[df["side"] == 0]
+        iv = df[df["side"] == 1]
+        if not len(p) or not len(iv):
+            return pd.DataFrame(out_cols)
+        uk = pd.Index(pd.unique(np.concatenate(
+            [iv["key"].to_numpy(), p["key"].to_numpy()])))
+        t_all = np.concatenate([iv["t0"].to_numpy(), p["t0"].to_numpy()])
+        tmin = t_all.min()
+        span = (t_all.max() - tmin) + max_duration_s + 2.0
+        m_iv = uk.get_indexer(iv["key"].to_numpy()) * span \
+            + (iv["t0"].to_numpy() - tmin)
+        order = np.argsort(m_iv, kind="mergesort")
+        m_iv = m_iv[order]
+        iv_end = iv["t1"].to_numpy()[order]
+        iv_id = iv["id"].to_numpy()[order]
+        iv_key = iv["key"].to_numpy()[order]
+        m_p = uk.get_indexer(p["key"].to_numpy()) * span \
+            + (p["t0"].to_numpy() - tmin)
+        lo = np.searchsorted(m_iv, m_p - max_duration_s, side="left")
+        hi = np.searchsorted(m_iv, m_p, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(out_cols)
+        rep = np.repeat(np.arange(len(p)), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        cand = np.arange(total) - offs[rep] + lo[rep]
+        pt = p["t0"].to_numpy()[rep]
+        ok = (iv_end[cand] > pt) & (iv_key[cand] == p["key"].to_numpy()[rep])
+        return pd.DataFrame({
+            point_id_col: p["id"].to_numpy()[rep][ok],
+            interval_id_col: iv_id[cand][ok],
+            key_col: p["key"].to_numpy()[rep][ok]})
+
+    u = points.map_batches(_tag_points, batch_format="pandas",
+                           batch_size=batch_size) \
+        .union(intervals.map_batches(_tag_intervals, batch_format="pandas",
+                                     batch_size=batch_size))
+    return u.groupby("part").map_groups(_match, batch_format="pandas")
+
+
 def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
                          segment: str = "BUILDING",
                          cutoff: str = "1998-06-01", k: int = 10,

@@ -787,3 +787,58 @@ class TestAsofJoin:
         """).df()
         assert got["event_id"].tolist() == exp["event_id"].tolist()
         assert np.allclose(got["value"], exp["value"])
+
+
+class TestIntervalJoin:
+    def test_overlaps_boundaries_and_length_guard(self, ray_session):
+        import ray.data
+        from engine.relational import interval_join
+        points = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "ts": pa.array([5.0, 15.0, 20.0, 15.0])}))
+        ivs = ray.data.from_arrow(pa.table({
+            "interval_id": pa.array([100, 101, 102], pa.int64()),
+            "user_id": pa.array([7, 7, 9], pa.int64()),
+            "start": pa.array([0.0, 10.0, 0.0]),
+            "end": pa.array([20.0, 30.0, 10.0])}))
+        out = interval_join(points, ivs, max_duration_s=30.0,
+                            ts_col="ts").to_pandas()
+        pairs = set(zip(out["event_id"], out["interval_id"]))
+        # point 15 (user 7) overlaps BOTH intervals; 20 only the second
+        # (end exclusive); user 9's point at 15 is past its interval
+        assert pairs == {(1, 100), (2, 100), (2, 101), (3, 101)}
+        import pytest as _pt
+        with _pt.raises(Exception, match="max_duration"):
+            interval_join(points, ivs, max_duration_s=10.0,
+                          ts_col="ts").to_pandas()
+
+    def test_vs_duckdb_inequality_join(self, rds):
+        import pandas as pd
+        import pyarrow.compute as pc
+        from engine.relational import interval_join
+        ev = rds("events")
+        pts = ev.map_batches(lambda b: b.filter(pc.invert(pc.equal(
+            b.column("event_type"), "purchase"))), batch_format="pyarrow")
+
+        def _w(df):
+            sub = df[df["event_type"] == "purchase"]
+            return pd.DataFrame({
+                "interval_id": sub["event_id"].to_numpy(),
+                "user_id": sub["user_id"].to_numpy(),
+                "start": sub["ts"].to_numpy(),
+                "end": sub["ts"].to_numpy() + np.timedelta64(1, "h")})
+        got = interval_join(pts, ev.map_batches(_w, batch_format="pandas"),
+                            max_duration_s=3600.0).to_pandas() \
+            .sort_values(["event_id", "interval_id"]).reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            with e as (select * from read_parquet('{SF}/events.parquet'))
+            select l.event_id, r.event_id as interval_id
+            from (select * from e where event_type <> 'purchase') l
+            join (select * from e where event_type = 'purchase') r
+              on l.user_id = r.user_id and l.ts >= r.ts
+             and l.ts < r.ts + interval 1 hour
+            order by l.event_id, interval_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert got["interval_id"].tolist() == exp["interval_id"].tolist()
