@@ -239,6 +239,30 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_near_dup(args) -> int:
+    """Near-dup resolution over a parquet corpus: writes cluster
+    assignments and (optionally) the deduplicated survivor view as
+    partitioned parquet."""
+    _ray_init(args.num_cpus)
+    import ray.data
+    from engine.cluster import near_dup_clusters, resolve_near_duplicates
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.key_col, args.text_col])
+    kw = dict(text_col=args.text_col, key_col=args.key_col,
+              threshold=args.threshold,
+              max_bucket_size=args.max_bucket_size)
+    clusters = near_dup_clusters(ds, **kw)
+    clusters.write_parquet(os.path.join(args.output, "clusters"))
+    if args.survivors:
+        full = ray.data.read_parquet(args.input)
+        resolve_near_duplicates(full, **kw).write_parquet(
+            os.path.join(args.output, "survivors"))
+    n = ray.data.read_parquet(
+        os.path.join(args.output, "clusters")).count()
+    print(json.dumps({"clustered_docs": n, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="engine")
     sub = ap.add_subparsers(dest="verb", required=True)
@@ -318,6 +342,21 @@ def main(argv=None) -> int:
                    choices=["if_clean", "always", "never"])
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_drift_batch)
+
+    p = sub.add_parser("near-dup",
+                       help="near-duplicate clusters + survivor view")
+    p.add_argument("--input", required=True, help="parquet path/dir")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--threshold", type=float, default=0.6)
+    p.add_argument("--max-bucket-size", type=int, default=None,
+                   help="drop flood shingles above this many docs "
+                        "(default: uncapped)")
+    p.add_argument("--survivors", action="store_true",
+                   help="also write the deduplicated survivor view")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_near_dup)
 
     p = sub.add_parser("stats", help="per-column stats")
     p.add_argument("--input", required=True)

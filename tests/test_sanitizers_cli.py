@@ -172,3 +172,23 @@ class TestCliRobustness:
             capture_output=True, text=True, cwd="/root/repo")
         assert r.returncode != 0
         assert "not a file or directory" in (r.stderr + r.stdout)
+
+
+class TestNearDupVerb:
+    def test_cli_near_dup(self, tmp_path):
+        import json as _json
+        import pyarrow.parquet as pq
+        out = tmp_path / "nd"
+        r = subprocess.run(
+            [sys.executable, "-m", "engine.cli", "near-dup",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--output", str(out), "--survivors", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300)
+        assert r.returncode == 0, r.stderr[-400:]
+        info = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["clustered_docs"] > 0
+        c = pq.read_table(str(out / "clusters")).to_pandas()
+        s = pq.read_table(str(out / "survivors"))
+        losers = set(c[c["node"] != c["cluster_id"]]["node"])
+        assert losers and losers.isdisjoint(
+            set(s.column("doc_id").to_pylist()))
