@@ -98,3 +98,106 @@ class TestEcmaProperties:
             # and the positive class agrees with membership too
             rx_pos = compile_ecma(f"^[\\{esc.lower()}]$")
             assert (rx_pos.search(s) is not None) == in_set, (esc, hex(cp))
+
+
+class TestNewRelationalOps:
+    """Randomized differential tests: the distributed operators must match
+    brute-force pandas/python references on arbitrary small inputs."""
+
+    def _events(self, rng, n, n_users, tmax=1000):
+        import pyarrow as pa
+        return {
+            "event_id": list(range(n)),
+            "user_id": [int(x) for x in rng.integers(0, n_users, n)],
+            "ts": [float(x) for x in rng.integers(0, tmax, n)],
+            "value": [float(x) for x in rng.normal(0, 10, n)],
+        }
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_rolling_mean_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import rolling_window_mean
+        rng = np.random.default_rng(seed)
+        d = self._events(rng, 60, 5)
+        W = 50.0
+        got = rolling_window_mean(
+            ray.data.from_arrow(pa.table(d)), window_seconds=W) \
+            .to_pandas().set_index("event_id")["rolling_mean"]
+        for i in range(len(d["event_id"])):
+            u, t = d["user_id"][i], d["ts"][i]
+            frame = [d["value"][j] for j in range(len(d["event_id"]))
+                     if d["user_id"][j] == u and t - W <= d["ts"][j] <= t]
+            assert abs(got[i] - np.mean(frame)) < 1e-9, i
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_asof_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import asof_join
+        rng = np.random.default_rng(seed ^ 0x5A5A)
+        L = self._events(rng, 40, 4)
+        R = self._events(rng, 30, 4)
+        R["event_id"] = [1000 + i for i in R["event_id"]]
+        got = asof_join(ray.data.from_arrow(pa.table(L)),
+                        ray.data.from_arrow(pa.table(R))).to_pandas() \
+            .set_index("event_id")["value"]
+        # brute force: latest right (ties -> max id) per left row
+        for i in range(40):
+            u, t = L["user_id"][i], L["ts"][i]
+            cand = [(R["ts"][j], R["event_id"][j], R["value"][j])
+                    for j in range(30)
+                    if R["user_id"][j] == u and R["ts"][j] <= t]
+            if not cand:
+                assert i not in got.index
+            else:
+                exp = max(cand)[2]
+                assert got[i] == exp, i
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_interval_join_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import interval_join
+        rng = np.random.default_rng(seed ^ 0xC3C3)
+        P = self._events(rng, 40, 4)
+        n_iv = 20
+        starts = [float(x) for x in rng.integers(0, 1000, n_iv)]
+        lens = [float(x) for x in rng.integers(1, 100, n_iv)]
+        iv = {"interval_id": list(range(n_iv)),
+              "user_id": [int(x) for x in rng.integers(0, 4, n_iv)],
+              "start": starts,
+              "end": [s + l for s, l in zip(starts, lens)]}
+        got = interval_join(ray.data.from_arrow(pa.table(P)),
+                            ray.data.from_arrow(pa.table(iv)),
+                            max_duration_s=100.0).to_pandas()
+        got_pairs = set(zip(got["event_id"], got["interval_id"]))
+        exp_pairs = {(P["event_id"][i], iv["interval_id"][j])
+                     for i in range(40) for j in range(n_iv)
+                     if P["user_id"][i] == iv["user_id"][j]
+                     and iv["start"][j] <= P["ts"][i] < iv["end"][j]}
+        assert got_pairs == exp_pairs
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_grouped_topk_matches_pandas(self, ray_session, seed):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import grouped_topk
+        rng = np.random.default_rng(seed ^ 0x77)
+        n = 50
+        df = pd.DataFrame({
+            "g": [str(x) for x in rng.integers(0, 6, n)],
+            "s": [float(x) for x in rng.integers(0, 10, n)],  # many ties
+            "i": list(range(n))})
+        got = grouped_topk(ray.data.from_arrow(pa.Table.from_pandas(df)),
+                           group_col="g", score_col="s", id_col="i",
+                           k=3).to_pandas()
+        exp = df.sort_values(["g", "s", "i"],
+                             ascending=[True, False, True]) \
+            .groupby("g").head(3)
+        assert sorted(got["i"]) == sorted(exp["i"])
