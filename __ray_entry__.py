@@ -693,6 +693,27 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-return-flag exact quantiles of l_extendedprice —
+    group-quantile_cont parity."""
+    from engine.stats import grouped_quantiles
+    out = grouped_quantiles(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        qs=[0.5, 0.9])
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "q": b.column("q"),
+            "value": pa.array(_round_half_away(
+                b.column("value").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["l_returnflag", "q"])
+
+
 def _q_outlier_events(sf_dir: str):
     """Tukey-fence outliers on events.value — fences from the exact
     quantile operator, so the flagged row set is deterministic and
@@ -873,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fraction": _q_sample_fraction,
         "stratified_sample_docs": _q_stratified_sample,
         "exact_quantiles_lineitem": _q_exact_quantiles,
+        "grouped_quantiles_lineitem": _q_grouped_quantiles,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1222,6 +1244,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 4)
             from lineitem
             order by q
+        """,
+        "grouped_quantiles_lineitem": """
+            select l_returnflag, q, round(v, 4) as value
+            from (
+              select l_returnflag, 0.5 as q,
+                     quantile_cont(l_extendedprice, 0.5) as v
+              from lineitem group by l_returnflag
+              union all
+              select l_returnflag, 0.9,
+                     quantile_cont(l_extendedprice, 0.9)
+              from lineitem group by l_returnflag)
+            order by l_returnflag, q
         """,
         "outlier_events": """
             with q as (select quantile_cont(value, 0.25) as q1,

@@ -364,3 +364,46 @@ def iqr_outliers(ds, col: str, *, k: float = 1.5,
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def grouped_quantiles(ds, *, group_col: str, value_col: str,
+                      qs: Sequence[float], batch_size: int = 65536):
+    """Per-group exact ``quantile_cont`` quantiles: one output row per
+    (group, q).
+
+    Whole groups co-locate on P coarse hash partitions (the standard
+    two-level shape, engine/shuffle.py) and one vectorized pandas
+    group-quantile call runs per partition — linear interpolation matches
+    DuckDB ``quantile_cont`` bit-for-bit. Assumes each group's values fit
+    a worker (the same contract as every map_groups stage here); for a
+    single group at corpus scale use ``exact_quantiles``, which never
+    co-locates the data.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    qlist = [float(q) for q in qs]
+
+    def _part(df):
+        out = df[[group_col, value_col]].copy()
+        out["part"] = (hash64(df[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _quant(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "q": [], "value": []})
+        g = df.dropna(subset=[value_col]).groupby(group_col)[value_col]
+        frames = []
+        for q in qlist:
+            s = g.quantile(q, interpolation="linear")
+            frames.append(pd.DataFrame({
+                group_col: s.index.to_numpy(),
+                "q": np.full(len(s), q),
+                "value": s.to_numpy()}))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_quant, batch_format="pandas")

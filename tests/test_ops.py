@@ -842,3 +842,33 @@ class TestIntervalJoin:
         """).df()
         assert got["event_id"].tolist() == exp["event_id"].tolist()
         assert got["interval_id"].tolist() == exp["interval_id"].tolist()
+
+
+class TestGroupedQuantiles:
+    def test_vs_duckdb_group_quantile_cont(self, rds):
+        from engine.stats import grouped_quantiles
+        got = grouped_quantiles(
+            rds("lineitem"), group_col="l_returnflag",
+            value_col="l_extendedprice", qs=[0.25, 0.5, 0.95]) \
+            .to_pandas().sort_values(["l_returnflag", "q"]) \
+            .reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select l_returnflag, q, v from (
+              select l_returnflag, 0.25 as q,
+                     quantile_cont(l_extendedprice, 0.25) as v
+              from read_parquet('{SF}/lineitem.parquet')
+              group by l_returnflag
+              union all
+              select l_returnflag, 0.5,
+                     quantile_cont(l_extendedprice, 0.5)
+              from read_parquet('{SF}/lineitem.parquet')
+              group by l_returnflag
+              union all
+              select l_returnflag, 0.95,
+                     quantile_cont(l_extendedprice, 0.95)
+              from read_parquet('{SF}/lineitem.parquet')
+              group by l_returnflag)
+            order by l_returnflag, q
+        """).df()
+        assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+        assert np.allclose(got["value"], exp["v"], atol=1e-9)
