@@ -693,6 +693,15 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_histogram_orders(sf_dir: str):
+    """20-bin histogram of o_totalprice over [0, 600000] — identical
+    float64 binning expression on both engines."""
+    from engine.stats import value_histogram
+    out = value_histogram(_read(sf_dir, "orders", columns=["o_totalprice"]),
+                          "o_totalprice", lo=0.0, hi=600000.0, bins=20)
+    return out.sort("bin")
+
+
 def _q_grouped_quantiles(sf_dir: str):
     """Per-return-flag exact quantiles of l_extendedprice —
     group-quantile_cont parity."""
@@ -895,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample,
         "exact_quantiles_lineitem": _q_exact_quantiles,
         "grouped_quantiles_lineitem": _q_grouped_quantiles,
+        "histogram_orders": _q_histogram_orders,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1244,6 +1254,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.95), 4)
             from lineitem
             order by q
+        """,
+        "histogram_orders": """
+            select least(floor((o_totalprice - 0.0) * 20 / 600000.0),
+                         19)::bigint as bin,
+                   count(*) as n
+            from orders
+            where o_totalprice >= 0.0 and o_totalprice <= 600000.0
+            group by bin order by bin
         """,
         "grouped_quantiles_lineitem": """
             select l_returnflag, q, round(v, 4) as value

@@ -407,3 +407,43 @@ def grouped_quantiles(ds, *, group_col: str, value_col: str,
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_quant, batch_format="pandas")
+
+
+def value_histogram(ds, col: str, *, lo: float, hi: float, bins: int,
+                    batch_size: int = 65536):
+    """Fixed-bin histogram of a numeric column over ``[lo, hi]`` — one
+    (bin, n) row per non-empty bin; values outside the range and NULL/NaN
+    are dropped, and ``hi`` lands in the last bin.
+
+    Binning uses the single expression ``min(floor((x - lo) * bins /
+    (hi - lo)), bins - 1)`` so a SQL oracle reproduces bin edges
+    bit-for-bit (numpy and DuckDB evaluate the identical float64 ops).
+    Partial ``bincount`` per batch -> a bins-bounded groupby-sum; the
+    corpus never shuffles.
+    """
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    w = float(hi) - float(lo)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            keep = (v >= lo) & (v <= hi) & ~np.isnan(v)
+        v = v[keep]
+        idx = np.minimum(np.floor((v - lo) * bins / w),
+                         bins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    agg = balance(parts).groupby("bin").aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"bin": b.column("bin"),
+                         "n": b.column("sum(n)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

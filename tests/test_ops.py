@@ -872,3 +872,32 @@ class TestGroupedQuantiles:
         """).df()
         assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
         assert np.allclose(got["value"], exp["v"], atol=1e-9)
+
+
+class TestValueHistogram:
+    def test_vs_duckdb(self, rds):
+        from engine.stats import value_histogram
+        got = value_histogram(rds("orders"), "o_totalprice",
+                              lo=0.0, hi=600000.0, bins=16).to_pandas() \
+            .sort_values("bin").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select least(floor((o_totalprice - 0.0) * 16 / 600000.0),
+                         15)::bigint as bin, count(*) as n
+            from read_parquet('{SF}/orders.parquet')
+            where o_totalprice >= 0.0 and o_totalprice <= 600000.0
+            group by bin order by bin
+        """).df()
+        assert got["bin"].tolist() == exp["bin"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_range_boundaries(self, ray_session):
+        import ray.data
+        from engine.stats import value_histogram
+        ds = ray.data.from_arrow(pa.table({
+            "x": pa.array([0.0, 5.0, 9.999, 10.0, 10.5, -0.1, None],
+                          pa.float64())}))
+        got = value_histogram(ds, "x", lo=0.0, hi=10.0, bins=2) \
+            .to_pandas().set_index("bin")["n"]
+        # hi lands in the LAST bin; the boundary value 5.0 belongs to the
+        # upper bin; out-of-range and NULL dropped
+        assert got[0] == 1 and got[1] == 3
