@@ -693,6 +693,17 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_distinct_users(sf_dir: str):
+    """Exact distinct users per event type — the two-level count-distinct
+    shape (in-batch pair dedup, pair-hash co-location, bounded final
+    sum)."""
+    from engine.relational import count_distinct
+    out = count_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        group_col="event_type", value_col="user_id")
+    return out.sort("event_type")
+
+
 def _q_histogram_orders(sf_dir: str):
     """20-bin histogram of o_totalprice over [0, 600000] — identical
     float64 binning expression on both engines."""
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_lineitem": _q_exact_quantiles,
         "grouped_quantiles_lineitem": _q_grouped_quantiles,
         "histogram_orders": _q_histogram_orders,
+        "distinct_users_per_event_type": _q_distinct_users,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1262,6 +1274,12 @@ def oracle_sql() -> dict[str, str]:
             from orders
             where o_totalprice >= 0.0 and o_totalprice <= 600000.0
             group by bin order by bin
+        """,
+        "distinct_users_per_event_type": """
+            select event_type, count(distinct user_id) as n_distinct
+            from events
+            where event_type is not null and user_id is not null
+            group by event_type order by event_type
         """,
         "grouped_quantiles_lineitem": """
             select l_returnflag, q, round(v, 4) as value

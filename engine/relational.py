@@ -733,3 +733,50 @@ def q3_shipping_priority(lineitem_ds, orders_ds, customer_ds, *,
     top = out.sort(["revenue", "o_orderdate", "l_orderkey"],
                    descending=[True, False, False]).limit(k)
     return top.to_pandas().reset_index(drop=True)
+
+
+def count_distinct(ds, *, group_col: str, value_col: str,
+                   batch_size: int = 65536):
+    """Exact distinct ``value_col`` count per ``group_col`` — the two-level
+    shape that survives 10^12 rows: an in-batch (group, value) dedup
+    combiner, a distinct pass over (group, value) pairs co-located by pair
+    hash, then a bins-bounded per-group sum. The raw corpus collapses to
+    distinct pairs before anything shuffles, and no stage ever holds a
+    per-group value set in one task.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.sketches import hash64
+    from engine.shuffle import balance, reduce_blocks
+    P = reduce_blocks()
+
+    def _pairs(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], value_col: [], "part": []})
+        sub = df[[group_col, value_col]].dropna().drop_duplicates()
+        with np.errstate(over="ignore"):
+            h = hash64(sub[group_col].to_numpy()) \
+                ^ hash64(sub[value_col].to_numpy(), 13)
+        out = sub.copy()
+        out["part"] = (h % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _dedup_count(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [],
+                                 "n": pd.array([], dtype="int64")})
+        d = df.drop_duplicates([group_col, value_col])
+        g = d.groupby(group_col, as_index=False).size()
+        return pd.DataFrame({group_col: g[group_col].to_numpy(),
+                             "n": g["size"].to_numpy().astype(np.int64)})
+
+    partials = ds.map_batches(_pairs, batch_format="pandas",
+                              batch_size=batch_size) \
+        .groupby("part").map_groups(_dedup_count, batch_format="pandas")
+    agg = balance(partials).groupby(group_col).aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b.column(group_col),
+                         "n_distinct": b.column("sum(n)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

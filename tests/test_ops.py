@@ -901,3 +901,29 @@ class TestValueHistogram:
         # hi lands in the LAST bin; the boundary value 5.0 belongs to the
         # upper bin; out-of-range and NULL dropped
         assert got[0] == 1 and got[1] == 3
+
+
+class TestCountDistinct:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import count_distinct
+        got = count_distinct(rds("events"), group_col="event_type",
+                             value_col="user_id").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_type, count(distinct user_id) as n
+            from read_parquet('{SF}/events.parquet')
+            where event_type is not null and user_id is not null
+            group by event_type order by event_type
+        """).df()
+        assert got["event_type"].tolist() == exp["event_type"].tolist()
+        assert got["n_distinct"].tolist() == exp["n"].tolist()
+
+    def test_duplicates_across_batches(self, ray_session):
+        import ray.data
+        from engine.relational import count_distinct
+        t = pa.table({"g": ["a"] * 50 + ["b"] * 50,
+                      "v": ([1, 2] * 25) + ([7] * 50)})
+        out = count_distinct(ray.data.from_arrow(t).repartition(8),
+                             group_col="g", value_col="v").to_pandas() \
+            .set_index("g")["n_distinct"]
+        assert out["a"] == 2 and out["b"] == 1
