@@ -693,6 +693,23 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_ewma_user_value(sf_dir: str):
+    """Per-user EWMA of event values in (ts, event_id) order — recurrence
+    parity with a DuckDB recursive CTE."""
+    from engine.relational import ewma
+    out = ewma(_read(sf_dir, "events",
+                     columns=["event_id", "ts", "user_id", "value"]),
+               alpha=0.3)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ewma": pa.array(_round_half_away(
+                b.column("ewma").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact distinct users per event type — the two-level count-distinct
     shape (in-batch pair dedup, pair-hash co-location, bounded final
@@ -917,6 +934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_lineitem": _q_grouped_quantiles,
         "histogram_orders": _q_histogram_orders,
         "distinct_users_per_event_type": _q_distinct_users,
+        "ewma_user_value": _q_ewma_user_value,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1280,6 +1298,21 @@ def oracle_sql() -> dict[str, str]:
             from events
             where event_type is not null and user_id is not null
             group by event_type order by event_type
+        """,
+        "ewma_user_value": """
+            with recursive
+            s as (select event_id, user_id, value,
+                         row_number() over (partition by user_id
+                                            order by ts, event_id) as rn
+                  from events),
+            e(user_id, rn, event_id, y) as (
+              select user_id, rn, event_id, value from s where rn = 1
+              union all
+              select s.user_id, s.rn, s.event_id,
+                     0.3 * s.value + 0.7 * e.y
+              from e join s on s.user_id = e.user_id and s.rn = e.rn + 1)
+            select event_id, round(y, 4) as ewma
+            from e order by event_id
         """,
         "grouped_quantiles_lineitem": """
             select l_returnflag, q, round(v, 4) as value

@@ -780,3 +780,43 @@ def count_distinct(ds, *, group_col: str, value_col: str,
                          "n_distinct": b.column("sum(n)")})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+         val_col: str = "value", id_col: str = "event_id",
+         alpha: float = 0.3, batch_size: int = 65536):
+    """Per-key exponentially weighted moving average in event order
+    (``y_1 = v_1``, ``y_n = alpha*v_n + (1-alpha)*y_{n-1}``; order =
+    (ts, id) within key) — the online feature a streaming scorer keeps.
+
+    Whole keys co-locate on P coarse hash partitions and pandas' grouped
+    EWM Cython kernel runs ONCE per partition across all its keys (a
+    single C pass, not one Python call per key). Only (key, ts, id, val)
+    rows shuffle, once. Returns (id, ewma).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _ewm(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "ewma": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        y = sub.groupby(key_col, sort=False)[val_col] \
+            .ewm(alpha=alpha, adjust=False).mean() \
+            .reset_index(level=0, drop=True).sort_index()
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "ewma": y.to_numpy()})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_ewm, batch_format="pandas")

@@ -927,3 +927,30 @@ class TestCountDistinct:
                              group_col="g", value_col="v").to_pandas() \
             .set_index("g")["n_distinct"]
         assert out["a"] == 2 and out["b"] == 1
+
+
+class TestEwma:
+    def test_vs_pandas_reference(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import ewma
+        rng = np.random.default_rng(11)
+        n = 200
+        df = pd.DataFrame({
+            "event_id": list(range(n)),
+            "user_id": rng.integers(0, 8, n),
+            "ts": rng.integers(0, 1000, n).astype(float),
+            "value": rng.normal(0, 5, n)})
+        got = ewma(ray.data.from_pandas(df).repartition(6),
+                   alpha=0.4).to_pandas().set_index("event_id")["ewma"]
+        ref = df.sort_values(["user_id", "ts", "event_id"])
+        # explicit sequential recurrence as the reference
+        exp = {}
+        for _, grp in ref.groupby("user_id"):
+            y = None
+            for _, row in grp.iterrows():
+                y = row["value"] if y is None \
+                    else 0.4 * row["value"] + 0.6 * y
+                exp[row["event_id"]] = y
+        for eid in df["event_id"]:
+            assert abs(got[eid] - exp[eid]) < 1e-9, eid
