@@ -231,6 +231,24 @@ def _q_q1(sf_dir: str):
                             "sum_disc_price": 4, "avg_qty": 4})
 
 
+def _q_q5(sf_dir: str):
+    """TPC-H Q5: revenue per nation where customer and supplier share an
+    ASIA nation, orders in 1996 — six-table join with size-gated
+    dimension routing."""
+    from engine.relational import q5_local_supplier_volume
+    df = q5_local_supplier_volume(
+        _read(sf_dir, "lineitem", columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", columns=[
+            "o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        _read(sf_dir, "nation"),
+        _read(sf_dir, "region")).to_pandas()
+    df = _round_cols(df, {"revenue": 4})
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def _q_revenue_by_segment(sf_dir: str):
     from engine.relational import revenue_by_segment
     df = revenue_by_segment(
@@ -914,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         # relational
         "q1_pricing_summary": _q_q1,
+        "q5_local_supplier_volume": _q_q5,
         "q3_shipping_priority": _q_q3,
         "revenue_by_segment": _q_revenue_by_segment,
         "events_per_user_hour": _q_events_window,
@@ -1187,6 +1206,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 4) as avg_qty,
                    count(*) as count_order
             from lineitem group by l_returnflag, l_linestatus
+        """,
+        "q5_local_supplier_volume": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       as revenue
+            from customer, orders, lineitem, supplier, nation, region
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+              and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+              and r_name = 'ASIA'
+              and o_orderdate >= date '1996-01-01'
+              and o_orderdate < date '1997-01-01'
+            group by n_name order by n_name
         """,
         "q3_shipping_priority": """
             with r as (

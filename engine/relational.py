@@ -820,3 +820,212 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_ewm, batch_format="pandas")
+
+
+def q5_local_supplier_volume(lineitem_ds, orders_ds, customer_ds,
+                             supplier_ds, nation_ds, region_ds, *,
+                             region_name: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1997-01-01",
+                             batch_size: int = 65536,
+                             broadcast_limit: int = 2_000_000):
+    """TPC-H Q5: revenue per nation from lineitems where the customer and
+    the supplier share a nation in ``region_name``, for one order year.
+
+    Join orchestration at scale: region/nation are O(10^2) rows always
+    (driver-safe); customer and supplier route by size — below
+    ``broadcast_limit`` they ship once via ``ray.put`` as key->nationkey
+    lookups and every attach is map-only, leaving ONE unavoidable
+    big-big hash join (lineitem x filtered orders, sized to cluster
+    CPUs); above the limit the attaches become distributed hash joins of
+    the same shape. Revenue pre-aggregates per nation inside every
+    post-join batch, so the final groupby sees nation-count rows.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance, join_partitions
+
+    nat = nation_ds.to_pandas()
+    reg = region_ds.to_pandas()
+    rkeys = set(reg[reg["r_name"] == region_name]["r_regionkey"])
+    nat_in = nat[nat["n_regionkey"].isin(rkeys)]
+    nation_keys = set(int(k) for k in nat_in["n_nationkey"])
+    name_of = dict(zip(nat_in["n_nationkey"].astype(int),
+                       nat_in["n_name"]))
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    def _dim_lut(ds, key, nkey):
+        """key -> nationkey lookup restricted to the region's nations."""
+        def _f(b: pa.Table) -> pa.Table:
+            nk = b.column(nkey).to_numpy(zero_copy_only=False)
+            m = np.isin(nk, list(nation_keys))
+            sub = b.filter(pa.array(m))
+            return pa.table({"k": pc.cast(sub.column(key), pa.int64()),
+                             "n": pc.cast(sub.column(nkey), pa.int64())})
+        small = ds.map_batches(_f, batch_format="pyarrow",
+                               batch_size=batch_size).to_pandas()
+        return dict(zip(small["k"], small["n"]))
+
+    if customer_ds.count() > broadcast_limit \
+            or supplier_ds.count() > broadcast_limit:
+        # distributed fall-through: same plan with hash joins for the
+        # dimension attaches (aggregators sized to cluster CPUs)
+        def _ofilter(b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            keep = (d >= lo) & (d < hi)
+            sub = b.filter(pa.array(keep))
+            return pa.table({
+                "o_orderkey": pc.cast(sub.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(sub.column("o_custkey"), pa.int64())})
+
+        of = orders_ds.map_batches(_ofilter, batch_format="pyarrow",
+                                   batch_size=batch_size)
+        cust = customer_ds.select_columns(["c_custkey", "c_nationkey"])
+        oc = of.join(cust, join_type="inner",
+                     num_partitions=join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+        def _norm_oc(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:  # schemaless empty join partition
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "cnat": pa.array([], pa.int64())})
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey"),
+                "cnat": pc.cast(b.column("c_nationkey"), pa.int64())})
+
+        oc = oc.map_batches(_norm_oc, batch_format="pyarrow")
+
+        def _lpartial(b: pa.Table) -> pa.Table:
+            price = b.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (1.0 - disc), pa.float64())})
+
+        li = lineitem_ds.map_batches(_lpartial, batch_format="pyarrow",
+                                     batch_size=batch_size)
+        lo_j = li.join(oc, join_type="inner",
+                       num_partitions=join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def _norm_ls(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                                 "cnat": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.float64())})
+            return b.select(["l_suppkey", "cnat", "rev"])
+
+        ls = lo_j.map_batches(_norm_ls, batch_format="pyarrow")
+        supp = supplier_ds.select_columns(["s_suppkey", "s_nationkey"])
+        fin = ls.join(supp, join_type="inner",
+                      num_partitions=join_partitions(),
+                      on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def _partial_nat(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return pa.table({"nkey": pa.array([], pa.int64()),
+                                 "rev": pa.array([], pa.float64())})
+            snat = pc.cast(b.column("s_nationkey"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            cnat = b.column("cnat").to_numpy(zero_copy_only=False)
+            rev = b.column("rev").to_numpy(zero_copy_only=False)
+            keep = (snat == cnat) & np.isin(snat, list(nation_keys))
+            u, inv = np.unique(snat[keep], return_inverse=True)
+            sums = np.bincount(inv, weights=rev[keep],
+                               minlength=len(u)) if len(u) else \
+                np.array([], dtype=np.float64)
+            return pa.table({"nkey": pa.array(u, pa.int64()),
+                             "rev": pa.array(sums, pa.float64())})
+
+        partials = fin.map_batches(_partial_nat, batch_format="pyarrow")
+    else:
+        cust_lut = ray.put(_dim_lut(customer_ds, "c_custkey",
+                                    "c_nationkey"))
+        supp_lut = ray.put(_dim_lut(supplier_ds, "s_suppkey",
+                                    "s_nationkey"))
+
+        def _ofilter(b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            keep = (d >= lo) & (d < hi)
+            sub = b.filter(pa.array(keep))
+            return pa.table({
+                "o_orderkey": pc.cast(sub.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(sub.column("o_custkey"), pa.int64())})
+
+        class _AttachCustNation:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+                cn = pd.Series(ck).map(self._lut)
+                keep = cn.notna().to_numpy()
+                return pa.table({
+                    "o_orderkey": b.column("o_orderkey").filter(
+                        pa.array(keep)),
+                    "cnat": pa.array(cn[keep].astype(np.int64),
+                                     pa.int64())})
+
+        oc = orders_ds.map_batches(_ofilter, batch_format="pyarrow",
+                                   batch_size=batch_size) \
+            .map_batches(_AttachCustNation(cust_lut),
+                         batch_format="pyarrow")
+
+        def _lpartial(b: pa.Table) -> pa.Table:
+            price = b.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()),
+                "rev": pa.array(price * (1.0 - disc), pa.float64())})
+
+        li = lineitem_ds.map_batches(_lpartial, batch_format="pyarrow",
+                                     batch_size=batch_size)
+        joined = li.join(oc, join_type="inner",
+                         num_partitions=join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        class _SuppAndPartial:
+            def __init__(self, ref):
+                self.ref = ref
+                self._lut = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if b.num_columns == 0:  # schemaless empty join partition
+                    return pa.table({"nkey": pa.array([], pa.int64()),
+                                     "rev": pa.array([], pa.float64())})
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+                sn = pd.Series(sk).map(self._lut)
+                cnat = b.column("cnat").to_numpy(zero_copy_only=False)
+                rev = b.column("rev").to_numpy(zero_copy_only=False)
+                keep = sn.notna().to_numpy() & (sn.to_numpy() == cnat)
+                nk = sn[keep].astype(np.int64).to_numpy()
+                u, inv = np.unique(nk, return_inverse=True)
+                sums = np.bincount(inv, weights=rev[keep],
+                                   minlength=len(u)) if len(u) else \
+                    np.array([], dtype=np.float64)
+                return pa.table({"nkey": pa.array(u, pa.int64()),
+                                 "rev": pa.array(sums, pa.float64())})
+
+        partials = joined.map_batches(_SuppAndPartial(supp_lut),
+                                      batch_format="pyarrow")
+
+    agg = balance(partials).groupby("nkey").aggregate(Sum("rev"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        nk = b.column("nkey").to_numpy(zero_copy_only=False)
+        names = [name_of.get(int(k), "") for k in nk]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue": b.column("sum(rev)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -954,3 +954,40 @@ class TestEwma:
                 exp[row["event_id"]] = y
         for eid in df["event_id"]:
             assert abs(got[eid] - exp[eid]) < 1e-9, eid
+
+
+class TestQ5:
+    def _run(self, rds, **kw):
+        from engine.relational import q5_local_supplier_volume
+        return q5_local_supplier_volume(
+            rds("lineitem"), rds("orders"), rds("customer"),
+            rds("supplier"), rds("nation"), rds("region"), **kw) \
+            .to_pandas().sort_values("n_name").reset_index(drop=True)
+
+    def test_vs_duckdb(self, rds):
+        got = self._run(rds)
+        exp = duckdb.sql(f"""
+            select n_name,
+                   sum(l_extendedprice * (1 - l_discount)) as revenue
+            from read_parquet('{SF}/customer.parquet') c,
+                 read_parquet('{SF}/orders.parquet') o,
+                 read_parquet('{SF}/lineitem.parquet') l,
+                 read_parquet('{SF}/supplier.parquet') s,
+                 read_parquet('{SF}/nation.parquet') n,
+                 read_parquet('{SF}/region.parquet') r
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+              and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+              and r_name = 'ASIA'
+              and o_orderdate >= date '1996-01-01'
+              and o_orderdate < date '1997-01-01'
+            group by n_name order by n_name
+        """).df()
+        assert got["n_name"].tolist() == exp["n_name"].tolist()
+        assert np.allclose(got["revenue"], exp["revenue"])
+
+    def test_distributed_path_matches_broadcast(self, rds):
+        a = self._run(rds)
+        b = self._run(rds, broadcast_limit=0)  # force hash-join route
+        assert a["n_name"].tolist() == b["n_name"].tolist()
+        assert np.allclose(a["revenue"], b["revenue"])
