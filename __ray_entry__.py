@@ -711,6 +711,16 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_percentile_rank_events(sf_dir: str):
+    """Exact per-row percentile rank of events.value —
+    percent_rank() window parity."""
+    from engine.stats import percentile_rank
+    out = percentile_rank(
+        _read(sf_dir, "events", columns=["event_id", "value"]),
+        "value", id_col="event_id")
+    return out.sort("event_id")
+
+
 def _q_ewma_user_value(sf_dir: str):
     """Per-user EWMA of event values in (ts, event_id) order — recurrence
     parity with a DuckDB recursive CTE."""
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_orders": _q_histogram_orders,
         "distinct_users_per_event_type": _q_distinct_users,
         "ewma_user_value": _q_ewma_user_value,
+        "percentile_rank_events": _q_percentile_rank_events,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1345,6 +1356,12 @@ def oracle_sql() -> dict[str, str]:
               from e join s on s.user_id = e.user_id and s.rn = e.rn + 1)
             select event_id, round(y, 4) as ewma
             from e order by event_id
+        """,
+        "percentile_rank_events": """
+            select event_id,
+                   percent_rank() over (order by value) as pct_rank
+            from events where value is not null
+            order by event_id
         """,
         "grouped_quantiles_lineitem": """
             select l_returnflag, q, round(v, 4) as value

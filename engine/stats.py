@@ -447,3 +447,70 @@ def value_histogram(ds, col: str, *, lo: float, hi: float, bins: int,
                          "n": b.column("sum(n)")})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def percentile_rank(ds, col: str, *, id_col: str,
+                    distinct_limit: int = 4_000_000,
+                    batch_size: int = 65536):
+    """Exact per-row percentile rank: ``count(x < v) / (n - 1)`` — SQL
+    ``percent_rank() OVER (ORDER BY col)`` parity (ties share a rank;
+    NULL/NaN rows are dropped).
+
+    Two passes: distinct-value counts aggregate first (in-batch combiner,
+    value-bounded groupby), then the sorted (value, cumulative-count) CDF
+    broadcasts once via ``ray.put`` and every row resolves map-only with
+    one searchsorted. The gate: the CDF is O(distinct values) — above
+    ``distinct_limit`` this op refuses (ValueError) rather than silently
+    materializing an unbounded array; bucket/round the column upstream or
+    use ``exact_quantiles`` + interpolation for an approximate rank.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _vc(b: pa.Table) -> pa.Table:
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.float64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = balance(ds.map_batches(_vc, batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=batch_size)) \
+        .groupby("v").aggregate(Sum("c")).materialize()
+    n_distinct = counts.count()
+    if n_distinct > distinct_limit:
+        raise ValueError(
+            f"{n_distinct} distinct values exceed distinct_limit="
+            f"{distinct_limit}; bucket the column or use exact_quantiles")
+    cdf = counts.to_pandas().sort_values("v")
+    vals = cdf["v"].to_numpy()
+    cnts = cdf["sum(c)"].to_numpy()
+    n = int(cnts.sum())
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    ref = ray.put((vals, below, n))
+
+    class _Rank:
+        def __init__(self, r):
+            self.r = r
+            self._s = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(self.r) if isinstance(
+                    self.r, ray.ObjectRef) else self.r
+            vals_, below_, n_ = self._s
+            v = pc.cast(b.column(col), pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = ~np.isnan(v)
+            sub = b.filter(pa.array(keep))
+            idx = np.searchsorted(vals_, v[keep])
+            denom = max(n_ - 1, 1)
+            return pa.table({
+                id_col: sub.column(id_col),
+                "pct_rank": pa.array(below_[idx] / denom, pa.float64())})
+
+    return ds.map_batches(_Rank(ref), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

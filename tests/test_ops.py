@@ -991,3 +991,35 @@ class TestQ5:
         b = self._run(rds, broadcast_limit=0)  # force hash-join route
         assert a["n_name"].tolist() == b["n_name"].tolist()
         assert np.allclose(a["revenue"], b["revenue"])
+
+
+class TestPercentileRank:
+    def test_vs_duckdb_window(self, rds):
+        from engine.stats import percentile_rank
+        got = percentile_rank(rds("events"), "value",
+                              id_col="event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_id, percent_rank() over (order by value) as pr
+            from read_parquet('{SF}/events.parquet')
+            where value is not null order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert np.allclose(got["pct_rank"], exp["pr"], atol=0)
+
+    def test_ties_and_gate(self, ray_session):
+        import ray.data
+        from engine.stats import percentile_rank
+        t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                      "x": pa.array([10.0, 10.0, 20.0, 30.0, None])})
+        got = percentile_rank(ray.data.from_arrow(t), "x",
+                              id_col="id").to_pandas() \
+            .set_index("id")["pct_rank"]
+        # 4 non-null rows: ties share count(x<v)/(n-1)
+        assert got[1] == 0.0 and got[2] == 0.0
+        assert got[3] == 2 / 3 and got[4] == 1.0
+        assert 5 not in got.index
+        import pytest as _pt
+        with _pt.raises(ValueError, match="distinct_limit"):
+            percentile_rank(ray.data.from_arrow(t), "x", id_col="id",
+                            distinct_limit=2)
