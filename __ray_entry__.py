@@ -711,6 +711,28 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Novelty of docs doc_id >= 100 vs the doc_id < 100 reference corpus
+    (fraction of distinct word 3-grams absent from the reference) — the
+    exact broadcast mode, SQL-reproducible via a left join on unnested
+    distinct grams."""
+    import pyarrow.compute as _pc
+    from engine.textstats import ngram_novelty
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _side(ref: bool):
+        def _fn(b: pa.Table) -> pa.Table:
+            m = _pc.less(b.column("doc_id"), 100)
+            return b.filter(m if ref else _pc.invert(m))
+        return _fn
+
+    out = ngram_novelty(docs.map_batches(_side(False),
+                                         batch_format="pyarrow"),
+                        docs.map_batches(_side(True),
+                                         batch_format="pyarrow"))
+    return out.sort("doc_id")
+
+
 def _q_percentile_rank_events(sf_dir: str):
     """Exact per-row percentile rank of events.value —
     percent_rank() window parity."""
@@ -965,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": _q_distinct_users,
         "ewma_user_value": _q_ewma_user_value,
         "percentile_rank_events": _q_percentile_rank_events,
+        "ngram_novelty_docs": _q_ngram_novelty,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1362,6 +1385,40 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() over (order by value) as pct_rank
             from events where value is not null
             order by event_id
+        """,
+        "ngram_novelty_docs": r"""
+            with d as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') as w
+              from documents),
+            g as (
+              select doc_id,
+                     list_distinct(case
+                       when len(w) = 0 then []::varchar[]
+                       when len(w) < 3 then [array_to_string(w, ' ')]
+                       else list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     end) as grams
+              from d),
+            refg as (select distinct unnest(grams) as gram from g
+                     where doc_id < 100),
+            ex as (select doc_id, unnest(grams) as gram from g
+                   where doc_id >= 100),
+            sc as (select e.doc_id,
+                          count(*) as total_grams,
+                          count(*) filter (r.gram is null) as novel_grams
+                   from ex e left join refg r on r.gram = e.gram
+                   group by e.doc_id)
+            select b.doc_id,
+                   coalesce(sc.novel_grams, 0) as novel_grams,
+                   coalesce(sc.total_grams, 0) as total_grams,
+                   coalesce(sc.novel_grams::double / sc.total_grams,
+                            0.0) as novelty
+            from (select doc_id from g where doc_id >= 100) b
+            left join sc on sc.doc_id = b.doc_id
+            order by b.doc_id
         """,
         "grouped_quantiles_lineitem": """
             select l_returnflag, q, round(v, 4) as value

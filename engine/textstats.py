@@ -287,3 +287,101 @@ def heavy_hitter_tokens(ds, *, text_col: str = "text", k: int = 20,
         "est_count": pa.array([r[1] for r in rows], pa.int64()),
         "max_error": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def _word_ngrams(text: str, n: int) -> list:
+    w = (text or "").lower().split()
+    if not w:
+        return []
+    if len(w) < n:
+        return [" ".join(w)]
+    return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+
+def ngram_novelty(ds, reference_ds, *, text_col: str = "text",
+                  key_col: str = "doc_id", n: int = 3,
+                  exact_limit: int = 5_000_000, fpr: float = 0.01,
+                  batch_size: int = 65536):
+    """Per-document novelty vs a reference corpus: the fraction of a
+    document's DISTINCT word ``n``-grams NOT present in the reference —
+    the signal a pretraining pipeline uses to rank "new" text against an
+    already-trained corpus (novelty 0 = fully contained).
+
+    The reference gram set builds distributedly (per-batch distinct
+    grams, groupby-deduped) and broadcasts once. Below ``exact_limit``
+    distinct grams it ships as a sorted string array (EXACT — what a SQL
+    oracle can reproduce); above, as a Bloom filter of gram hashes (fpr
+    -> novelty slightly UNDER-estimated, never over), the same
+    degradation contract as the referential checks. Scoring is map-only.
+    """
+    import pandas as pd
+    import ray
+    from engine.shuffle import balance
+
+    def _ref_grams(df):
+        if text_col not in df.columns or not len(df):
+            return pd.DataFrame({"g": []})
+        grams = set()
+        for t in df[text_col]:
+            grams.update(_word_ngrams(t, n))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    ref_distinct = balance(reference_ds.map_batches(
+        _ref_grams, batch_format="pandas", batch_size=batch_size)) \
+        .groupby("g").map_groups(lambda d: d.head(1) if "g" in d.columns
+                                 else d, batch_format="pandas") \
+        .materialize()
+    n_ref = ref_distinct.count()
+    if n_ref <= exact_limit:
+        ref = np.sort(ref_distinct.to_pandas()["g"].to_numpy())
+        mode = "exact"
+    else:
+        from engine.sketches import Bloom
+        bloom = Bloom.for_capacity(n_ref, fpr)
+        for b in ref_distinct.iter_batches(batch_format="pandas",
+                                           batch_size=65536):
+            bloom.add(b["g"].to_numpy())
+        ref = bloom
+        mode = "bloom"
+    ref_obj = ray.put((mode, ref))
+
+    class _Score:
+        def __init__(self, r):
+            self.r = r
+            self._s = None
+
+        def __call__(self, df):
+            if self._s is None:
+                self._s = ray.get(self.r) if not isinstance(
+                    self.r, tuple) else self.r
+            mode_, ref_ = self._s
+            keys, novel, total = [], [], []
+            for k, t in zip(df[key_col], df[text_col]):
+                grams = sorted(set(_word_ngrams(t, n)))
+                if not grams:
+                    keys.append(k)
+                    novel.append(0)
+                    total.append(0)
+                    continue
+                if mode_ == "exact":
+                    arr = np.array(grams, dtype=object)
+                    pos = np.searchsorted(ref_, arr)
+                    pos_c = np.clip(pos, 0, len(ref_) - 1)
+                    known = (ref_[pos_c] == arr) if len(ref_) else \
+                        np.zeros(len(arr), dtype=bool)
+                else:
+                    known = ref_.contains(np.array(grams, dtype=object))
+                keys.append(k)
+                novel.append(int((~known).sum()))
+                total.append(len(grams))
+            t_arr = np.array(total, dtype=np.float64)
+            return pd.DataFrame({
+                key_col: keys,
+                "novel_grams": np.array(novel, dtype=np.int64),
+                "total_grams": np.array(total, dtype=np.int64),
+                "novelty": np.where(t_arr > 0,
+                                    np.array(novel) / np.maximum(t_arr, 1),
+                                    0.0)})
+
+    return ds.map_batches(_Score(ref_obj), batch_format="pandas",
+                          batch_size=batch_size)

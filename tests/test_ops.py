@@ -1023,3 +1023,38 @@ class TestPercentileRank:
         with _pt.raises(ValueError, match="distinct_limit"):
             percentile_rank(ray.data.from_arrow(t), "x", id_col="id",
                             distinct_limit=2)
+
+
+class TestNgramNovelty:
+    def _corpora(self):
+        import ray.data
+        ref = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                              "one two three four five six seven"])}))
+        score = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon zeta",
+                              "alpha beta gamma NEW words here now",
+                              None])}))
+        return ref, score
+
+    def test_exact_mode(self, ray_session):
+        from engine.textstats import ngram_novelty
+        ref, score = self._corpora()
+        got = ngram_novelty(score, ref).to_pandas() \
+            .set_index("doc_id")
+        assert got.loc[10, "novelty"] == 0.0         # fully contained
+        assert 0 < got.loc[11, "novelty"] < 1.0       # partially novel
+        assert got.loc[12, "total_grams"] == 0        # null text
+        assert got.loc[12, "novelty"] == 0.0
+
+    def test_bloom_mode_never_overestimates(self, ray_session):
+        from engine.textstats import ngram_novelty
+        ref, score = self._corpora()
+        exact = ngram_novelty(score, ref).to_pandas() \
+            .set_index("doc_id")["novelty"]
+        bloom = ngram_novelty(score, ref, exact_limit=0).to_pandas() \
+            .set_index("doc_id")["novelty"]
+        for d in exact.index:
+            assert bloom[d] <= exact[d] + 1e-12  # fp only removes novelty
