@@ -711,6 +711,14 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal per document (no SQL analog
+    — rows-only; differential-tested against zlib directly)."""
+    from engine.textstats import compression_ratio
+    out = compression_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
+    return out.sort("doc_id")
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Novelty of docs doc_id >= 100 vs the doc_id < 100 reference corpus
     (fraction of distinct word 3-grams absent from the reference) — the
@@ -988,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_user_value": _q_ewma_user_value,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
+        "compression_ratio_docs": _q_compression_ratio,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,

@@ -385,3 +385,36 @@ def ngram_novelty(ds, reference_ds, *, text_col: str = "text",
 
     return ds.map_batches(_Score(ref_obj), batch_format="pandas",
                           batch_size=batch_size)
+
+
+def compression_ratio(ds, *, text_col: str = "text",
+                      key_col: str = "doc_id", level: int = 6,
+                      batch_size: int = 65536):
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    CCNet-style quality heuristic: highly repetitive or templated text
+    compresses far below prose, near-random noise barely at all. Map-only;
+    the per-row zlib call is C-bound. Empty/NULL text scores ratio 1.0.
+    """
+    import zlib
+    import pandas as pd
+
+    def _fn(df):
+        if text_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "raw_bytes": [],
+                                 "compressed_bytes": [], "ratio": []})
+        raw, comp = [], []
+        for t in df[text_col]:
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, level)) if b else 0)
+        raw_a = np.array(raw, dtype=np.int64)
+        comp_a = np.array(comp, dtype=np.int64)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "raw_bytes": raw_a,
+            "compressed_bytes": comp_a,
+            "ratio": np.where(raw_a > 0,
+                              comp_a / np.maximum(raw_a, 1), 1.0)})
+
+    return ds.map_batches(_fn, batch_format="pandas",
+                          batch_size=batch_size)

@@ -1058,3 +1058,29 @@ class TestNgramNovelty:
             .set_index("doc_id")["novelty"]
         for d in exact.index:
             assert bloom[d] <= exact[d] + 1e-12  # fp only removes novelty
+
+
+class TestCompressionRatio:
+    def test_vs_zlib_reference_and_ordering(self, ray_session):
+        import zlib
+        import ray.data
+        from engine.textstats import compression_ratio
+        rng = np.random.default_rng(0)
+        alphabet = np.array(list(
+            "abcdefghijklmnopqrstuvwxyz0123456789"))
+        rep = "spam " * 200
+        prose = ("the quick brown fox jumps over the lazy dog while "
+                 "seventeen geese debate epistemology near the river ") * 4
+        noise = "".join(rng.choice(alphabet, size=len(prose)))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([rep, prose, noise, None])}))
+        got = compression_ratio(ds).to_pandas().set_index("doc_id")
+        for d, t in [(1, rep), (2, prose), (3, noise)]:
+            b = t.encode()
+            assert got.loc[d, "raw_bytes"] == len(b)
+            assert got.loc[d, "compressed_bytes"] == len(
+                zlib.compress(b, 6))
+        assert got.loc[1, "ratio"] < got.loc[2, "ratio"] < \
+            got.loc[3, "ratio"]
+        assert got.loc[4, "ratio"] == 1.0 and got.loc[4, "raw_bytes"] == 0
