@@ -59,20 +59,18 @@ def test_all_queries_have_unique_names(contract):
     assert set(sql.keys()) <= set(qs.keys())
 
 
-@pytest.mark.parametrize("name", [
-    "validate_documents", "validate_embeddings", "stats_documents",
-    "duplicate_keys_lineitem", "referential_orders",
-    "referential_lineitem_part", "dedup_exact", "token_counts",
-    "anti_join_orders_restricted", "token_doc_frequency",
-    "bpe_token_counts", "quality_scores", "lang_distribution",
-    "ann_cosine_topk", "q1_pricing_summary", "revenue_by_segment",
-    "events_per_user_hour", "top_event_types", "train_test_split",
-    "sessionize_events",
-    "sample_fraction",
-    "events_props_validation", "embedding_near_dup", "jaccard_verify",
-    "language_id", "streaming_windows", "q3_shipping_priority",
-    "multi_validate_documents", "heavy_hitter_tokens",
-])
+def _oracled_names():
+    """EVERY query with an oracle is SQL-parity-checked — the list is
+    derived, so a new oracled query can never silently skip this gate."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_entry_names", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return sorted(m.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracled_names())
 def test_sql_checked_query(contract, con, name):
     qs = contract.queries()
     got = _canon(_to_df(qs[name](SF)))
