@@ -89,14 +89,18 @@ def test_sql_checked_query(contract, con, name):
                     f"{name}.{c} mismatch"
 
 
-@pytest.mark.parametrize("name", [
-    "validate_spans", "spans_verdicts", "spans_drift",
-    "spans_dangling_refs", "spans_stats", "minhash_near_dup",
-    "simhash_fingerprints", "embedding_near_dup", "ivf_topk",
-    "language_id", "fingerprints", "events_props_validation",
-    "infer_schema_documents",
-    "multimodal_features",
-])
+def _rows_only_names():
+    """Every queries() entry WITHOUT an oracle runs rows-only here, so the
+    full driver surface executes in-suite regardless of oracle status."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_entry_names2", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return sorted(set(m.queries()) - set(m.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
 def test_rows_only_query_runs(contract, name):
     got = _to_df(contract.queries()[name](SF))
     assert got is not None
