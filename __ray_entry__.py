@@ -877,6 +877,34 @@ def _q_multi_validate(sf_dir: str):
                              "instance_path"])
 
 
+def _q_streaming_dedup(sf_dir: str):
+    """Streaming exact dedup: documents replayed as four doc_id-ordered
+    micro-batches through the Bloom+exact seen-state operator; the union
+    of emitted keeps must equal batch exact dedup (min doc_id per md5) —
+    which is exactly the DuckDB oracle."""
+    import tempfile
+    import pyarrow.compute as _pc
+    from engine.streaming import stream_dedup_micro_batch
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n = docs.count()
+    size = (n + 3) // 4
+    state = tempfile.mkdtemp(prefix="streamdedup_")
+    kept = []
+    for i in range(4):
+        lo_k, hi_k = i * size, (i + 1) * size
+
+        def _slice(b: pa.Table, lo_k=lo_k, hi_k=hi_k) -> pa.Table:
+            ids = b.column("doc_id")
+            return b.filter(_pc.and_(_pc.greater_equal(ids, lo_k),
+                                     _pc.less(ids, hi_k)))
+        out, _ = stream_dedup_micro_batch(
+            docs.map_batches(_slice, batch_format="pyarrow"), state,
+            batch_id=f"b{i}")
+        kept.append(out)
+    t = pa.concat_tables(kept)
+    return pa.table({"doc_id": t.column("doc_id")}).sort_by("doc_id")
+
+
 def _q_streaming_windows(sf_dir: str):
     """Micro-batch streaming windows: the events table replayed as three
     time-ordered micro-batches through the watermark operator; with in-order
@@ -1005,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_validation": _q_events_props_validation,
         # micro-batch streaming windows with watermarks
         "streaming_windows": _q_streaming_windows,
+        "streaming_dedup": _q_streaming_dedup,
         # schema compiler / reverse codegen
         "infer_schema_documents": _q_infer_schema_documents,
         # multimodal plumbing (stubbed decode, real pipeline)
@@ -1394,6 +1423,11 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() over (order by value) as pct_rank
             from events where value is not null
             order by event_id
+        """,
+        "streaming_dedup": """
+            select min(doc_id) as doc_id from documents
+            group by md5(coalesce(text, ''))
+            order by doc_id
         """,
         "ngram_novelty_docs": r"""
             with d as (

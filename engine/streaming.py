@@ -241,3 +241,173 @@ def flush(state_dir: str) -> pa.Table:
         "n_events": open_tbl.column("n_events"),
         "value_sum": open_tbl.column("value_sum"),
     })
+
+
+# ---------------------------------------------------------------------------
+# micro-batch streaming exact dedup
+
+
+class DedupState:
+    """Seen-content state for streaming dedup: versioned parquet hash files
+    plus a serialized Bloom, committed by meta rename (same idempotent
+    contract as WindowState — a killed run re-processes only its current
+    micro-batch, and re-committing version N is an overwrite, not a
+    duplicate)."""
+
+    def __init__(self, state_dir: str):
+        self.dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self.meta_path = os.path.join(state_dir, "dedup_meta.json")
+
+    def load_meta(self) -> dict:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                return json.load(f)
+        return {"version": 0, "n_hashes": 0, "bloom": None,
+                "last_batch_id": None}
+
+    def hash_files(self, meta: dict) -> list:
+        return [os.path.join(self.dir, f"hashes_v{i}.parquet")
+                for i in range(1, meta["version"] + 1)
+                if os.path.exists(os.path.join(self.dir,
+                                               f"hashes_v{i}.parquet"))]
+
+    def load_bloom(self, meta: dict):
+        from engine.sketches import Bloom
+        if not meta["bloom"]:
+            return None
+        b = np.load(os.path.join(self.dir, meta["bloom"]))
+        return Bloom(int(b["n_bits"]), int(b["k"]), bits=b["words"])
+
+    def commit(self, meta: dict, new_hashes: pa.Table, bloom,
+               batch_id=None) -> None:
+        v = meta["version"] + 1
+        tmp = os.path.join(self.dir, f"hashes_v{v}.parquet.tmp")
+        pq.write_table(new_hashes, tmp)
+        os.replace(tmp, os.path.join(self.dir, f"hashes_v{v}.parquet"))
+        bname = f"bloom_v{v}.npz"
+        tmpb = os.path.join(self.dir, bname + ".tmp")
+        with open(tmpb, "wb") as f:
+            np.savez(f, n_bits=bloom.n_bits, k=bloom.k, words=bloom.words)
+        os.replace(tmpb, os.path.join(self.dir, bname))
+        meta = dict(meta, version=v, bloom=bname,
+                    n_hashes=meta["n_hashes"] + len(new_hashes),
+                    last_batch_id=batch_id)
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+
+def stream_dedup_micro_batch(docs_ds, state_dir: str, *,
+                             text_col: str = "text",
+                             key_col: str = "doc_id",
+                             batch_id=None,
+                             expected_total: int = 1_000_000,
+                             batch_size: int = 65536):
+    """Process one micro-batch of an append-only document stream; returns
+    ``(kept: pa.Table (key, text_hash), summary: dict)`` — the documents
+    whose content was never seen in ANY earlier committed micro-batch
+    (within a batch, the minimum key per content survives).
+
+    Scale shape: in-batch md5+min-key combiner -> coarse-partition per-hash
+    min (only distinct (hash, key) rows shuffle); the seen-state check is
+    two-phase like the referential checks — a broadcast Bloom rejects
+    definitely-new hashes map-only, and only Bloom HITS anti-join the
+    state's hash files (sparse; a false positive costs one joined row,
+    never a wrongly dropped document). State grows O(distinct content);
+    hash files are append-only parquet versions, so the exact pass reads
+    hashes, not documents.
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+    from engine.dedup import _md5_hex
+    from engine.sketches import Bloom, hash64
+    from engine.shuffle import reduce_blocks
+
+    state = DedupState(state_dir)
+    meta = state.load_meta()
+    if batch_id is not None and meta.get("last_batch_id") == batch_id:
+        # replayed delivery of an already-committed batch: re-emit its
+        # recorded keeps, change nothing (exactly-once per batch id)
+        t = pq.read_table(os.path.join(
+            state.dir, f"hashes_v{meta['version']}.parquet"))
+        out = pa.table({key_col: t.column("key"),
+                        "text_hash": t.column("h")})
+        return out, {"batch_docs_kept": len(t), "bloom_hits": 0,
+                     "false_positives_recovered": 0,
+                     "version": meta["version"], "replayed": True}
+    bloom = state.load_bloom(meta)
+    P = reduce_blocks()
+
+    def _partial(df):
+        if text_col not in df.columns or not len(df):
+            return pd.DataFrame({"h": [], "key": [], "part": []})
+        h = np.array(_md5_hex(df[text_col].fillna("").tolist()),
+                     dtype=object)
+        sub = pd.DataFrame({"h": h, "key": df[key_col].to_numpy()})
+        sub = sub.groupby("h", as_index=False)["key"].min()
+        sub["part"] = (hash64(sub["h"].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return sub
+
+    def _min_per_hash(df):
+        if "h" not in df.columns or not len(df):
+            return pd.DataFrame({"h": [], "key": []})
+        return df.groupby("h", as_index=False)["key"].min()
+
+    cand = docs_ds.map_batches(_partial, batch_format="pandas",
+                               batch_size=batch_size) \
+        .groupby("part").map_groups(_min_per_hash, batch_format="pandas") \
+        .to_pandas()
+
+    if bloom is None or not len(cand):
+        hits = np.zeros(len(cand), dtype=bool)
+    else:
+        hits = bloom.contains(cand["h"].to_numpy())
+    kept = cand[~hits]
+    suspect = cand[hits]
+    files = state.hash_files(meta)
+    if len(suspect) and files:
+        # exact pass: the state scans DISTRIBUTEDLY, filtered against the
+        # broadcast sparse suspect set — the driver only ever holds
+        # suspect-sized data, never the full seen-hash set
+        suspect_sorted = np.sort(suspect["h"].to_numpy())
+        ref = ray.put(suspect_sorted)
+
+        class _AmongSuspects:
+            def __init__(self, r):
+                self.r = r
+                self._s = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if self._s is None:
+                    self._s = ray.get(self.r) if isinstance(
+                        self.r, ray.ObjectRef) else self.r
+                v = b.column("h").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self._s, v)
+                pos = np.clip(pos, 0, len(self._s) - 1)
+                return b.filter(pa.array(self._s[pos] == v))
+
+        seen_sparse = ray.data.read_parquet(files).map_batches(
+            _AmongSuspects(ref), batch_format="pyarrow").to_pandas()
+        seen_set = set(seen_sparse["h"]) if len(seen_sparse) else set()
+        fp = suspect[~suspect["h"].isin(seen_set)]
+        kept = pd.concat([kept, fp], ignore_index=True)
+
+    kept = kept.sort_values("key").reset_index(drop=True)
+    new_hashes = pa.table({"h": pa.array(kept["h"].tolist(), pa.string()),
+                           "key": pa.array(kept["key"].tolist())})
+    if bloom is None:
+        bloom = Bloom.for_capacity(max(expected_total, 1), 0.01)
+    if len(kept):
+        bloom.add(kept["h"].to_numpy())
+    state.commit(meta, new_hashes, bloom, batch_id=batch_id)
+    out = pa.table({key_col: pa.array(kept["key"].tolist()),
+                    "text_hash": pa.array(kept["h"].tolist(), pa.string())})
+    summary = {"batch_docs_kept": len(kept),
+               "bloom_hits": int(hits.sum()),
+               "false_positives_recovered": int(len(kept) - (~hits).sum()),
+               "version": meta["version"] + 1}
+    return out, summary

@@ -215,3 +215,67 @@ def test_cli_drift_batch(tmp_path):
     verdicts = [_json.loads(x) for x in lines[:-1] if x.startswith("{")]
     assert {v["column"] for v in verdicts} >= {"n_chars", "lang"}
     assert not any(v["drifted"] for v in verdicts)  # same data, no drift
+
+
+class TestStreamDedup:
+    def _batches(self, n_parts=4):
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+        df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        size = (len(df) + n_parts - 1) // n_parts
+        return [df.iloc[i * size:(i + 1) * size] for i in range(n_parts)]
+
+    def test_stream_equals_batch_dedup(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data
+        from engine.streaming import stream_dedup_micro_batch
+        kept_all = []
+        for i, part in enumerate(self._batches()):
+            out, _ = stream_dedup_micro_batch(
+                ray.data.from_pandas(part.reset_index(drop=True)),
+                str(tmp_path / "state"), batch_id=f"b{i}")
+            kept_all.extend(out.column("doc_id").to_pylist())
+        exp = duckdb.sql("""
+            select min(doc_id) as doc_id
+            from read_parquet('/root/testdata/sf0.001/documents.parquet')
+            group by md5(coalesce(text, '')) order by doc_id
+        """).df()["doc_id"].tolist()
+        assert sorted(kept_all) == exp
+
+    def test_bloom_false_positives_recovered(self, ray_session, tmp_path):
+        """A deliberately undersized Bloom floods with false positives;
+        the exact pass must recover every genuinely-new document."""
+        import duckdb
+        import ray.data
+        from engine.streaming import stream_dedup_micro_batch
+        kept_all = []
+        for i, part in enumerate(self._batches()):
+            out, s = stream_dedup_micro_batch(
+                ray.data.from_pandas(part.reset_index(drop=True)),
+                str(tmp_path / "state"), batch_id=f"b{i}",
+                expected_total=1)  # fpr -> ~1 for hundreds of hashes
+            kept_all.extend(out.column("doc_id").to_pylist())
+            if i > 0:  # the undersized bloom must actually be flooding
+                assert s["false_positives_recovered"] > 0
+        exp = duckdb.sql("""
+            select min(doc_id) as doc_id
+            from read_parquet('/root/testdata/sf0.001/documents.parquet')
+            group by md5(coalesce(text, '')) order by doc_id
+        """).df()["doc_id"].tolist()
+        assert sorted(kept_all) == exp
+
+    def test_replay_is_exactly_once(self, ray_session, tmp_path):
+        import ray.data
+        import pyarrow as pa
+        from engine.streaming import stream_dedup_micro_batch
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["x", "y"])}))
+        a, _ = stream_dedup_micro_batch(ds, str(tmp_path / "s"),
+                                        batch_id="b0")
+        b, s = stream_dedup_micro_batch(ds, str(tmp_path / "s"),
+                                        batch_id="b0")
+        assert a.column("doc_id").to_pylist() == \
+            b.column("doc_id").to_pylist() == [1, 2]
+        assert s.get("replayed") is True
