@@ -239,6 +239,28 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_stream_dedup(args) -> int:
+    """One micro-batch of the streaming exact-dedup operator: emit the
+    input slice's never-seen documents, update the persistent seen-state
+    (Bloom + hash files, rename-committed), print a summary JSON line.
+    --batch-id makes re-delivery exactly-once."""
+    _ray_init(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data
+    from engine.streaming import stream_dedup_micro_batch
+    ds = ray.data.read_parquet(args.input,
+                               columns=[args.key_col, args.text_col])
+    kept, summary = stream_dedup_micro_batch(
+        ds, args.state, text_col=args.text_col, key_col=args.key_col,
+        batch_id=args.batch_id, expected_total=args.expected_total)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(kept, os.path.join(
+            args.out, f"kept_v{summary['version']:06d}.parquet"))
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_near_dup(args) -> int:
     """Near-dup resolution over a parquet corpus: writes cluster
     assignments and (optionally) the deduplicated survivor view as
@@ -342,6 +364,19 @@ def main(argv=None) -> int:
                    choices=["if_clean", "always", "never"])
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_drift_batch)
+
+    p = sub.add_parser("stream-dedup",
+                       help="streaming exact dedup micro-batch")
+    p.add_argument("--input", required=True, help="parquet path/dir")
+    p.add_argument("--state", required=True, help="state directory")
+    p.add_argument("--out", default=None,
+                   help="append kept docs here as kept_v{N}.parquet")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--batch-id", default=None)
+    p.add_argument("--expected-total", type=int, default=1_000_000)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_stream_dedup)
 
     p = sub.add_parser("near-dup",
                        help="near-duplicate clusters + survivor view")

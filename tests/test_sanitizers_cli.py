@@ -192,3 +192,24 @@ class TestNearDupVerb:
         losers = set(c[c["node"] != c["cluster_id"]]["node"])
         assert losers and losers.isdisjoint(
             set(s.column("doc_id").to_pylist()))
+
+
+class TestStreamDedupVerb:
+    def test_cli_stream_dedup_two_batches(self, tmp_path):
+        import json as _json
+        args = [sys.executable, "-m", "engine.cli", "stream-dedup",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--state", str(tmp_path / "state"),
+                "--out", str(tmp_path / "kept"), "--num-cpus", "4"]
+        r1 = subprocess.run(args + ["--batch-id", "b0"],
+                            capture_output=True, text=True,
+                            cwd="/root/repo", timeout=300)
+        assert r1.returncode == 0, r1.stderr[-400:]
+        s1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+        assert s1["batch_docs_kept"] > 0
+        r2 = subprocess.run(args + ["--batch-id", "b1"],
+                            capture_output=True, text=True,
+                            cwd="/root/repo", timeout=300)
+        s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+        assert s2["batch_docs_kept"] == 0  # same content: all seen
+        assert s2["bloom_hits"] == s1["batch_docs_kept"]
