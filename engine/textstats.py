@@ -346,6 +346,13 @@ def ngram_novelty(ds, reference_ds, *, text_col: str = "text",
     ref_obj = ray.put((mode, ref))
 
     class _Score:
+        """Vectorized batch scorer: every document's distinct grams
+        flatten into ONE array (doc-index tagged), membership resolves
+        with one searchsorted / Bloom probe over the whole batch, and
+        per-doc novel counts come from a bincount — no per-document
+        Python loop in the hot path (gram extraction itself is the same
+        split-based pass the other text kernels use)."""
+
         def __init__(self, r):
             self.r = r
             self._s = None
@@ -355,33 +362,40 @@ def ngram_novelty(ds, reference_ds, *, text_col: str = "text",
                 self._s = ray.get(self.r) if not isinstance(
                     self.r, tuple) else self.r
             mode_, ref_ = self._s
-            keys, novel, total = [], [], []
-            for k, t in zip(df[key_col], df[text_col]):
-                grams = sorted(set(_word_ngrams(t, n)))
-                if not grams:
-                    keys.append(k)
-                    novel.append(0)
-                    total.append(0)
-                    continue
+            n_docs = len(df)
+            flat, owner = [], []
+            for i, t in enumerate(df[text_col]):  # list building only
+                g = _word_ngrams(t, n)
+                flat.extend(g)
+                owner.extend([i] * len(g))
+            if flat:
+                pairs = pd.DataFrame({
+                    "i": np.array(owner, dtype=np.int64),
+                    "g": np.array(flat, dtype=object)}) \
+                    .drop_duplicates()
+                garr = pairs["g"].to_numpy()
                 if mode_ == "exact":
-                    arr = np.array(grams, dtype=object)
-                    pos = np.searchsorted(ref_, arr)
-                    pos_c = np.clip(pos, 0, len(ref_) - 1)
-                    known = (ref_[pos_c] == arr) if len(ref_) else \
-                        np.zeros(len(arr), dtype=bool)
+                    if len(ref_):
+                        pos = np.clip(np.searchsorted(ref_, garr),
+                                      0, len(ref_) - 1)
+                        known = ref_[pos] == garr
+                    else:
+                        known = np.zeros(len(garr), dtype=bool)
                 else:
-                    known = ref_.contains(np.array(grams, dtype=object))
-                keys.append(k)
-                novel.append(int((~known).sum()))
-                total.append(len(grams))
-            t_arr = np.array(total, dtype=np.float64)
+                    known = ref_.contains(garr)
+                idx = pairs["i"].to_numpy()
+                total = np.bincount(idx, minlength=n_docs)
+                novel = np.bincount(idx[~known], minlength=n_docs)
+            else:
+                total = np.zeros(n_docs, dtype=np.int64)
+                novel = np.zeros(n_docs, dtype=np.int64)
+            t_arr = total.astype(np.float64)
             return pd.DataFrame({
-                key_col: keys,
-                "novel_grams": np.array(novel, dtype=np.int64),
-                "total_grams": np.array(total, dtype=np.int64),
+                key_col: df[key_col].to_numpy(),
+                "novel_grams": novel.astype(np.int64),
+                "total_grams": total.astype(np.int64),
                 "novelty": np.where(t_arr > 0,
-                                    np.array(novel) / np.maximum(t_arr, 1),
-                                    0.0)})
+                                    novel / np.maximum(t_arr, 1), 0.0)})
 
     return ds.map_batches(_Score(ref_obj), batch_format="pandas",
                           batch_size=batch_size)
