@@ -711,6 +711,29 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_pii_flags(sf_dir: str):
+    """PII pattern counts over documents with deterministically planted
+    markers (the synthetic corpus has no organic PII): doc_id % 7 == 0
+    gains an email, % 11 == 0 an IPv4 — both sides reproduce the
+    augmentation, and pyarrow + DuckDB share RE2 semantics."""
+    from engine.textstats import pii_flags
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        import pyarrow.compute as _pc
+        base = _pc.fill_null(_pc.cast(b.column("text"), pa.string()), "")
+        texts = base.to_pylist()
+        out = [t + (f" contact_{i}@example.com" if i % 7 == 0 else "")
+               + (f" ip 10.0.0.{i % 256}" if i % 11 == 0 else "")
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return pii_flags(docs.map_batches(_plant, batch_format="pyarrow")) \
+        .sort("doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal per document (no SQL analog
     — rows-only; differential-tested against zlib directly)."""
@@ -1025,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
+        "pii_flags_docs": _q_pii_flags,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1423,6 +1447,42 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() over (order by value) as pct_rank
             from events where value is not null
             order by event_id
+        """,
+        "pii_flags_docs": r"""
+            with d as (
+              select doc_id,
+                     coalesce(text, '')
+                     || case when doc_id % 7 = 0
+                             then ' contact_' || doc_id || '@example.com'
+                             else '' end
+                     || case when doc_id % 11 = 0
+                             then ' ip 10.0.0.' || (doc_id % 256)
+                             else '' end as t
+              from documents)
+            select doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       ))::bigint as n_emails,
+                   len(regexp_extract_all(t,
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b'
+                       ))::bigint as n_phones,
+                   len(regexp_extract_all(t,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'
+                       ))::bigint as n_ipv4,
+                   len(regexp_extract_all(t,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'
+                       ))::bigint as n_ssn_like,
+                   (len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       )) > 0
+                    or len(regexp_extract_all(t,
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) > 0
+                    or len(regexp_extract_all(t,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'
+                       )) > 0
+                    or len(regexp_extract_all(t,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) > 0) as has_pii
+            from d order by doc_id
         """,
         "streaming_dedup": """
             select min(doc_id) as doc_id from documents

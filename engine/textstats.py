@@ -432,3 +432,36 @@ def compression_ratio(ds, *, text_col: str = "text",
 
     return ds.map_batches(_fn, batch_format="pandas",
                           batch_size=batch_size)
+
+
+#: PII patterns (RE2-safe, ASCII): both pyarrow.compute and DuckDB evaluate
+#: these with RE2 semantics, so counts agree engine-for-engine.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "n_ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "n_ssn_like": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_flags(ds, *, text_col: str = "text", key_col: str = "doc_id",
+              batch_size: int = 8192, concurrency=None):
+    """Per-document PII pattern counts (emails, phone-shaped numbers, IPv4,
+    SSN-shaped ids) + an aggregate ``has_pii`` flag — the redaction /
+    filter gate of a training-data pipeline. Pure vectorized RE2 counts
+    (``pc.count_substring_regex``); map-only."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(text_col)
+        cols = {key_col: batch.column(key_col)}
+        any_hit = None
+        for name, rx in PII_PATTERNS.items():
+            c = pc.cast(pc.fill_null(pc.count_substring_regex(t, rx), 0),
+                        pa.int64())
+            cols[name] = c
+            hit = pc.greater(c, 0)
+            any_hit = hit if any_hit is None else pc.or_(any_hit, hit)
+        cols["has_pii"] = any_hit
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1084,3 +1084,23 @@ class TestCompressionRatio:
         assert got.loc[1, "ratio"] < got.loc[2, "ratio"] < \
             got.loc[3, "ratio"]
         assert got.loc[4, "ratio"] == 1.0 and got.loc[4, "raw_bytes"] == 0
+
+
+class TestPiiFlags:
+    def test_patterns_and_flag(self, ray_session):
+        import ray.data
+        from engine.textstats import pii_flags
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "mail a@b.io and c.d+x@e-f.org twice",
+                "call 555-123-4567 or visit 192.168.0.1",
+                "ssn 123-45-6789 lurks here",
+                None])}))
+        got = pii_flags(ds).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_emails"] == 2 and got.loc[1, "has_pii"]
+        assert got.loc[2, "n_phones"] == 1 and got.loc[2, "n_ipv4"] == 1
+        assert got.loc[3, "n_ssn_like"] == 1
+        assert not got.loc[4, "has_pii"]
+        assert (got.loc[4, ["n_emails", "n_phones", "n_ipv4",
+                            "n_ssn_like"]] == 0).all()
