@@ -734,6 +734,28 @@ def _q_pii_flags(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_redact_pii(sf_dir: str):
+    """Redacted view of the planted-marker corpus (same augmentation as
+    pii_flags_docs): every PII match replaced with its typed tag, in the
+    operator's fixed pattern order — regexp_replace(…, 'g') parity."""
+    from engine.textstats import redact_pii
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _plant(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        base = _pc.fill_null(_pc.cast(b.column("text"), pa.string()), "")
+        texts = base.to_pylist()
+        out = [t + (f" contact_{i}@example.com" if i % 7 == 0 else "")
+               + (f" ip 10.0.0.{i % 256}" if i % 11 == 0 else "")
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return redact_pii(docs.map_batches(_plant, batch_format="pyarrow")) \
+        .sort("doc_id")
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib compression-ratio quality signal per document (no SQL analog
     — rows-only; differential-tested against zlib directly)."""
@@ -1049,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
         "pii_flags_docs": _q_pii_flags,
+        "redact_pii_docs": _q_redact_pii,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1482,6 +1505,29 @@ def oracle_sql() -> dict[str, str]:
                        )) > 0
                     or len(regexp_extract_all(t,
                        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) > 0) as has_pii
+            from d order by doc_id
+        """,
+        "redact_pii_docs": r"""
+            with d as (
+              select doc_id,
+                     coalesce(text, '')
+                     || case when doc_id % 7 = 0
+                             then ' contact_' || doc_id || '@example.com'
+                             else '' end
+                     || case when doc_id % 11 = 0
+                             then ' ip 10.0.0.' || (doc_id % 256)
+                             else '' end as t
+              from documents)
+            select doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                       '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+                       '[PHONE]', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '[IP]', 'g') as redacted_text
             from d order by doc_id
         """,
         "streaming_dedup": """

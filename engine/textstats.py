@@ -465,3 +465,32 @@ def pii_flags(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+#: replacement tags per PII pattern, in a fixed application order
+PII_REPLACEMENTS = [
+    ("n_emails", "[EMAIL]"),
+    ("n_ssn_like", "[SSN]"),
+    ("n_phones", "[PHONE]"),
+    ("n_ipv4", "[IP]"),
+]
+
+
+def redact_pii(ds, *, text_col: str = "text", key_col: str = "doc_id",
+               batch_size: int = 8192, concurrency=None):
+    """Replace every PII pattern match with a typed tag ([EMAIL], [SSN],
+    [PHONE], [IP]) in a FIXED order (SSN-shaped before phone-shaped, so
+    overlapping digit runs resolve deterministically) — the redaction
+    stage paired with ``pii_flags``. Vectorized
+    ``pc.replace_substring_regex`` (global replacement, RE2), map-only.
+    NULL text stays NULL."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column(text_col), pa.string())
+        for name, tag in PII_REPLACEMENTS:
+            t = pc.replace_substring_regex(
+                t, pattern=PII_PATTERNS[name], replacement=tag)
+        return pa.table({key_col: batch.column(key_col),
+                         "redacted_text": t})
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

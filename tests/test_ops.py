@@ -1104,3 +1104,20 @@ class TestPiiFlags:
         assert not got.loc[4, "has_pii"]
         assert (got.loc[4, ["n_emails", "n_phones", "n_ipv4",
                             "n_ssn_like"]] == 0).all()
+
+
+class TestRedactPii:
+    def test_tags_order_and_nulls(self, ray_session):
+        import ray.data
+        from engine.textstats import redact_pii
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "a@b.io then 123-45-6789 then 555-123-4567 then 10.0.0.1",
+                "clean text stays clean",
+                None])}))
+        got = redact_pii(ds).to_pandas().set_index("doc_id")
+        assert got.loc[1, "redacted_text"] == \
+            "[EMAIL] then [SSN] then [PHONE] then [IP]"
+        assert got.loc[2, "redacted_text"] == "clean text stays clean"
+        assert got.loc[3, "redacted_text"] is None
