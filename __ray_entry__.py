@@ -711,6 +711,15 @@ def _q_rolling_user_mean(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Shard-local next-fit sequence packing (token budget 512, shard =
+    doc_id // 128) — recursive-CTE recurrence parity."""
+    from engine.textstats import pack_sequences
+    out = pack_sequences(_docs(sf_dir, columns=["doc_id", "text"]),
+                         token_budget=512, shard_size=128)
+    return out.sort("doc_id")
+
+
 def _q_pii_flags(sf_dir: str):
     """PII pattern counts over documents with deterministically planted
     markers (the synthetic corpus has no organic PII): doc_id % 7 == 0
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_docs": _q_compression_ratio,
         "pii_flags_docs": _q_pii_flags,
         "redact_pii_docs": _q_redact_pii,
+        "pack_sequences_docs": _q_pack_sequences,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1470,6 +1480,28 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() over (order by value) as pct_rank
             from events where value is not null
             order by event_id
+        """,
+        "pack_sequences_docs": r"""
+            with recursive
+            s as (
+              select doc_id, doc_id // 128 as shard,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '\S+'))::bigint as n,
+                     row_number() over (partition by doc_id // 128
+                                        order by doc_id) as rn
+              from documents),
+            p(shard, rn, doc_id, n, running, bin) as (
+              select shard, rn, doc_id, n, n, 0::bigint from s
+              where rn = 1
+              union all
+              select s.shard, s.rn, s.doc_id, s.n,
+                     case when p.running + s.n <= 512
+                          then p.running + s.n else s.n end,
+                     case when p.running + s.n <= 512
+                          then p.bin else p.bin + 1 end
+              from p join s on s.shard = p.shard and s.rn = p.rn + 1)
+            select doc_id, shard, bin, n as n_tokens
+            from p order by doc_id
         """,
         "pii_flags_docs": r"""
             with d as (

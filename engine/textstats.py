@@ -494,3 +494,69 @@ def redact_pii(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def pack_sequences(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                   token_budget: int = 512, shard_size: int = 128,
+                   batch_size: int = 65536):
+    """Sequence packing for training: assign documents to fixed
+    token-budget bins with NEXT-FIT in doc-id order, shard-locally —
+    bins never span shards (``shard = key // shard_size``), so every
+    shard packs independently and deterministically at any parallelism.
+    A document longer than the budget gets its own bin.
+
+    Returns (key, shard, bin, n_tokens); ``bin`` numbers restart per
+    shard. Shards co-locate on coarse hash partitions; within a shard the
+    bin boundaries are found by iterating ``searchsorted`` over the
+    token-count cumsum — the loop is per BIN (corpus tokens / budget per
+    shard), not per document.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _counts(b: pa.Table) -> pa.Table:
+        t = b.column(text_col)
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        n = pc.cast(pc.fill_null(token_count_batch(t), 0),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        shard = keys // shard_size
+        return pa.table({
+            "key": pa.array(keys), "shard": pa.array(shard),
+            "n_tokens": pa.array(n, pa.int64()),
+            "part": pa.array(
+                (hash64(shard) % np.uint64(P)).astype(np.int64))})
+
+    def _pack(df):
+        if "key" not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "shard": [], "bin": [],
+                                 "n_tokens": []})
+        sub = df.sort_values(["shard", "key"],
+                             kind="mergesort").reset_index(drop=True)
+        out_bins = np.empty(len(sub), dtype=np.int64)
+        for _, idx in sub.groupby("shard", sort=False).indices.items():
+            n = sub["n_tokens"].to_numpy()[idx]
+            cs = np.cumsum(n)
+            bins = np.empty(len(idx), dtype=np.int64)
+            start, b = 0, 0
+            while start < len(idx):
+                base = cs[start - 1] if start else 0
+                # furthest doc that still fits; oversized docs go alone
+                end = int(np.searchsorted(cs, base + token_budget,
+                                          side="right"))
+                if end <= start:
+                    end = start + 1
+                bins[start:end] = b
+                b += 1
+                start = end
+            out_bins[idx] = bins
+        return pd.DataFrame({
+            key_col: sub["key"].to_numpy(),
+            "shard": sub["shard"].to_numpy(),
+            "bin": out_bins,
+            "n_tokens": sub["n_tokens"].to_numpy()})
+
+    return ds.map_batches(_counts, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size) \
+        .groupby("part").map_groups(_pack, batch_format="pandas")

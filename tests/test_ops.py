@@ -1121,3 +1121,33 @@ class TestRedactPii:
             "[EMAIL] then [SSN] then [PHONE] then [IP]"
         assert got.loc[2, "redacted_text"] == "clean text stays clean"
         assert got.loc[3, "redacted_text"] is None
+
+
+class TestPackSequences:
+    def test_next_fit_semantics(self, ray_session):
+        import ray.data
+        from engine.textstats import pack_sequences
+        # token counts: 3, 3, 3, 9(oversized), 2, 2 with budget 7
+        texts = ["a b c", "d e f", "g h i", "j k l m n o p q r",
+                 "s t", "u v"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(texts)}))
+        got = pack_sequences(ds, token_budget=7, shard_size=100) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # bin 0: docs 0,1 (3+3=6 <= 7); doc 2 opens bin 1 (3);
+        # oversized doc 3 cannot join -> bin 2 alone; docs 4,5 -> bin 3
+        assert got["bin"].tolist() == [0, 0, 1, 2, 3, 3]
+        assert got["n_tokens"].tolist() == [3, 3, 3, 9, 2, 2]
+
+    def test_shards_pack_independently(self, ray_session):
+        import ray.data
+        from engine.textstats import pack_sequences
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b", "c d", "e f", "g h"])}))
+        got = pack_sequences(ds, token_budget=100, shard_size=2) \
+            .to_pandas().sort_values("doc_id")
+        # two shards of two docs; bin numbering restarts per shard
+        assert got["shard"].tolist() == [0, 0, 1, 1]
+        assert got["bin"].tolist() == [0, 0, 0, 0]
