@@ -954,7 +954,10 @@ def _q_streaming_dedup(sf_dir: str):
         out, _ = stream_dedup_micro_batch(
             docs.map_batches(_slice, batch_format="pyarrow"), state,
             batch_id=f"b{i}")
-        kept.append(out)
+        df = out.to_pandas()  # keeps are a Dataset; small at test sf
+        if "doc_id" in df.columns and len(df):
+            kept.append(pa.table({"doc_id": pa.array(
+                df["doc_id"].to_numpy(), pa.int64())}))
     t = pa.concat_tables(kept)
     return pa.table({"doc_id": t.column("doc_id")}).sort_by("doc_id")
 
@@ -1001,7 +1004,16 @@ def _q_streaming_windows(sf_dir: str):
             window="1h", allowed_lateness="30m")
         parts.append(closed)
     parts.append(flush(sd))
-    out = pa.concat_tables([p for p in parts if len(p)])
+    # closed windows are Datasets now; small at test sf — collect the
+    # arrow blocks (empty ones come out schemaless, drop them)
+    import ray as _ray
+    tbls = []
+    for p in parts:
+        for r in p.to_arrow_refs():
+            t = _ray.get(r)
+            if t.num_columns and len(t):
+                tbls.append(t)
+    out = pa.concat_tables(tbls)
     return pa.table({
         "user_id": out.column("key"),
         "window_start": out.column("window_start"),
@@ -1465,7 +1477,7 @@ def oracle_sql() -> dict[str, str]:
             s as (select event_id, user_id, value,
                          row_number() over (partition by user_id
                                             order by ts, event_id) as rn
-                  from events),
+                  from events where value is not null),
             e(user_id, rn, event_id, y) as (
               select user_id, rn, event_id, value from s where rn = 1
               union all

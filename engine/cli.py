@@ -204,7 +204,8 @@ def cmd_stream_window(args) -> int:
         os.makedirs(args.out, exist_ok=True)
         version = json.load(open(os.path.join(
             args.state, "meta.json")))["version"]
-        pq.write_table(closed, os.path.join(
+        # workers write the emission as a partitioned parquet directory
+        closed.write_parquet(os.path.join(
             args.out, f"closed_v{version:06d}.parquet"))
     print(json.dumps(summary))
     return 0
@@ -255,7 +256,8 @@ def cmd_stream_dedup(args) -> int:
         batch_id=args.batch_id, expected_total=args.expected_total)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        pq.write_table(kept, os.path.join(
+        # workers write the emission as a partitioned parquet directory
+        kept.write_parquet(os.path.join(
             args.out, f"kept_v{summary['version']:06d}.parquet"))
     print(json.dumps(summary))
     return 0

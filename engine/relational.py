@@ -775,11 +775,29 @@ def count_distinct(ds, *, group_col: str, value_col: str,
         .groupby("part").map_groups(_dedup_count, batch_format="pandas")
     agg = balance(partials).groupby(group_col).aggregate(Sum("n"))
 
+    try:  # group dtype for the typed-empty fall-through: metadata only
+        # (never execute the plan, never capture ds in a UDF)
+        _sch = ds.schema(fetch_if_missing=False)
+        _gt = _sch.base_schema.field(group_col).type
+    except Exception:
+        _gt = pa.string()
+
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({group_col: b.column(group_col),
                          "n_distinct": b.column("sum(n)")})
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    res = agg.map_batches(_final, batch_format="pyarrow")
+    # Ray never invokes the UDF on empty blocks, so an all-filtered corpus
+    # yields a SCHEMALESS empty that breaks downstream sort/select. The
+    # result is group-bounded, so materializing it here is free (the
+    # groupby was a barrier anyway) and lets us substitute a typed empty.
+    res = res.materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], _gt),
+             "n_distinct": pa.array([], pa.int64())}))
+    return res
 
 
 def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
@@ -793,6 +811,12 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     EWM Cython kernel runs ONCE per partition across all its keys (a
     single C pass, not one Python call per key). Only (key, ts, id, val)
     rows shuffle, once. Returns (id, ewma).
+
+    NULL contract: rows with a NULL value are DROPPED before the
+    recurrence (they emit no output row and do not advance the state) —
+    SQL parity is ``WHERE val IS NOT NULL`` before the recursive CTE.
+    Without the drop, pandas' ewm would carry-and-reweight past a NaN
+    while the SQL recurrence would poison every later row of the key.
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -801,8 +825,8 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     cols = [id_col, key_col, ts_col, val_col]
 
     def _part(df):
-        out = df[cols].copy()
-        out["part"] = (hash64(df[key_col].to_numpy())
+        out = df[cols].dropna(subset=[val_col]).copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
                        % np.uint64(P)).astype(np.int64)
         return out
 

@@ -446,7 +446,18 @@ def value_histogram(ds, col: str, *, lo: float, hi: float, bins: int,
         return pa.table({"bin": b.column("bin"),
                          "n": b.column("sum(n)")})
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    res = agg.map_batches(_final, batch_format="pyarrow")
+    # Ray never invokes the UDF on empty blocks, so an all-filtered corpus
+    # yields a SCHEMALESS empty that breaks downstream sort/select. The
+    # result is bins-bounded, so materializing it here is free (the
+    # groupby was a barrier anyway) and lets us substitute a typed empty.
+    res = res.materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"bin": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}))
+    return res
 
 
 def percentile_rank(ds, col: str, *, id_col: str,

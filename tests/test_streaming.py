@@ -42,7 +42,9 @@ class TestWatermarkWindows:
             closed_parts.append(closed.to_pandas())
             assert summary["late_events"] == 0
         closed_parts.append(flush(sd).to_pandas())
-        got = pd.concat(closed_parts, ignore_index=True)
+        # empty Datasets to_pandas() drop the schema (Ray edge): drop them
+        got = pd.concat([f for f in closed_parts if "key" in f.columns],
+                        ignore_index=True)
 
         # batch oracle: plain (user, hour-window) groupby of everything
         df = _events(all_rows).to_pandas()
@@ -68,7 +70,7 @@ class TestWatermarkWindows:
         c1, s1 = process_micro_batch(
             _events([(1, m, 1.0) for m in range(0, 51, 10)]), sd,
             window="1h", allowed_lateness="10m")
-        assert len(c1) == 0 and s1["open_windows"] == 1
+        assert c1.count() == 0 and s1["open_windows"] == 1
         # batch 2: minutes 120..130 -> watermark 110m: window 0 closes
         c2, s2 = process_micro_batch(
             _events([(1, 120, 1.0), (1, 130, 1.0)]), sd,
@@ -79,7 +81,7 @@ class TestWatermarkWindows:
         c3, _ = process_micro_batch(
             _events([(1, 140, 1.0)]), sd, window="1h",
             allowed_lateness="10m")
-        assert len(c3) == 0
+        assert c3.count() == 0
 
     def test_late_events_counted_and_dropped(self, ray_session, tmp_path):
         from engine.streaming import process_micro_batch
@@ -93,7 +95,7 @@ class TestWatermarkWindows:
         # on-time event aggregated; late one dropped
         from engine.streaming import flush
         final = flush(sd).to_pandas()
-        assert final["n_events"].sum() + len(closed) >= 1
+        assert final["n_events"].sum() + closed.count() >= 1
 
     def test_watermark_never_regresses(self, ray_session, tmp_path):
         from engine.streaming import process_micro_batch, WindowState
@@ -235,7 +237,7 @@ class TestStreamDedup:
             out, _ = stream_dedup_micro_batch(
                 ray.data.from_pandas(part.reset_index(drop=True)),
                 str(tmp_path / "state"), batch_id=f"b{i}")
-            kept_all.extend(out.column("doc_id").to_pylist())
+            kept_all.extend(out.to_pandas()["doc_id"].tolist())
         exp = duckdb.sql("""
             select min(doc_id) as doc_id
             from read_parquet('/root/testdata/sf0.001/documents.parquet')
@@ -255,7 +257,7 @@ class TestStreamDedup:
                 ray.data.from_pandas(part.reset_index(drop=True)),
                 str(tmp_path / "state"), batch_id=f"b{i}",
                 expected_total=1)  # fpr -> ~1 for hundreds of hashes
-            kept_all.extend(out.column("doc_id").to_pylist())
+            kept_all.extend(out.to_pandas()["doc_id"].tolist())
             if i > 0:  # the undersized bloom must actually be flooding
                 assert s["false_positives_recovered"] > 0
         exp = duckdb.sql("""
@@ -276,6 +278,6 @@ class TestStreamDedup:
                                         batch_id="b0")
         b, s = stream_dedup_micro_batch(ds, str(tmp_path / "s"),
                                         batch_id="b0")
-        assert a.column("doc_id").to_pylist() == \
-            b.column("doc_id").to_pylist() == [1, 2]
+        assert sorted(a.to_pandas()["doc_id"].tolist()) == \
+            sorted(b.to_pandas()["doc_id"].tolist()) == [1, 2]
         assert s.get("replayed") is True
