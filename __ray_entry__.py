@@ -462,8 +462,11 @@ def _q_near_dup_survivors(sf_dir: str):
     minimum doc_id (resolve_duplicates over the oracled cluster edges);
     singletons pass through. Output = surviving doc_ids."""
     from engine.cluster import resolve_near_duplicates
+    # max_bucket_size=None UNCAPS the shingle blocking — required for
+    # oracle parity (the SQL self-join is flood-blind); scale runs keep
+    # the safe capped default
     out = resolve_near_duplicates(_docs(sf_dir, columns=["doc_id", "text"]),
-                                  threshold=0.6)
+                                  threshold=0.6, max_bucket_size=None)
 
     def _ids(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("doc_id")})
@@ -489,7 +492,8 @@ def _q_train_test_contamination(sf_dir: str):
     train = docs.map_batches(_side(False), batch_format="pyarrow")
     test = docs.map_batches(_side(True), batch_format="pyarrow")
     out = cross_corpus_near_duplicates(train, test, threshold=0.6,
-                                       method="shingle")
+                                       method="shingle",
+                                       max_bucket_size=None)
 
     def _name(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -513,7 +517,7 @@ def _q_near_dup_clusters(sf_dir: str):
     """
     from engine.cluster import near_dup_clusters
     out = near_dup_clusters(_docs(sf_dir, columns=["doc_id", "text"]),
-                            threshold=0.6)
+                            threshold=0.6, max_bucket_size=None)
 
     def _name(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b.column("node"),

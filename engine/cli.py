@@ -274,7 +274,7 @@ def cmd_near_dup(args) -> int:
                                columns=[args.key_col, args.text_col])
     kw = dict(text_col=args.text_col, key_col=args.key_col,
               threshold=args.threshold,
-              max_bucket_size=args.max_bucket_size)
+              max_bucket_size=args.max_bucket_size or None)
     clusters = near_dup_clusters(ds, **kw)
     clusters.write_parquet(os.path.join(args.output, "clusters"))
     if args.survivors:
@@ -387,9 +387,9 @@ def main(argv=None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--key-col", default="doc_id")
     p.add_argument("--threshold", type=float, default=0.6)
-    p.add_argument("--max-bucket-size", type=int, default=None,
+    p.add_argument("--max-bucket-size", type=int, default=256,
                    help="drop flood shingles above this many docs "
-                        "(default: uncapped)")
+                        "(default: 256; 0 = uncapped, oracle parity only)")
     p.add_argument("--survivors", action="store_true",
                    help="also write the deduplicated survivor view")
     p.add_argument("--num-cpus", type=int, default=None)

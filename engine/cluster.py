@@ -295,7 +295,7 @@ def resolve_duplicates(docs, pairs, *, key_col: str = "doc_id",
 
 def shingle_candidate_pairs(docs, *, text_col: str = "text",
                             key_col: str = "doc_id", n: int = 3,
-                            max_bucket_size: int | None = None):
+                            max_bucket_size: int | None = 256):
     """Candidate pairs = documents sharing at least one word ``n``-gram
     shingle (exact blocking — every true near-dup pair with any shared
     shingle is a candidate; contrast with minhash banding, which samples).
@@ -305,10 +305,11 @@ def shingle_candidate_pairs(docs, *, text_col: str = "text",
     64-bit hashes, never strings; a hash collision can only ADD a candidate
     pair, and any added pair that survives a downstream jaccard >= t > 0
     filter must share a real gram — so the *filtered* pair set is exact.
-    ``max_bucket_size`` (default: uncapped) drops flood shingles shared by
-    more than that many docs; the exactness claim then holds only for pairs
-    outside dropped floods — cap it in scale runs, leave None when an
-    oracle compares.
+    ``max_bucket_size`` (default 256 — the SAFE, bounded behavior) drops
+    flood shingles shared by more than that many docs, bounding per-shingle
+    pair volume at cap^2/2; the exactness claim then holds only for pairs
+    outside dropped floods. Pass ``None`` to UNCAP when an oracle compares
+    (the SQL self-join is flood-blind), never in a scale run.
     """
     import pandas as pd
     from engine.dedup import _doc_shingle_hashes, _pairs_via_partitions, \
@@ -345,7 +346,7 @@ def _near_dup_edges(docs, *, text_col: str, key_col: str, n: int,
 def near_dup_clusters(docs, *, text_col: str = "text",
                       key_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.6,
-                      max_bucket_size: int | None = None):
+                      max_bucket_size: int | None = 256):
     """End-to-end: shingle-blocked candidates -> exact jaccard >= threshold
     edges -> connected components. Returns (node, cluster_id) rows for every
     document in a near-dup cluster of size >= 2."""
@@ -357,7 +358,7 @@ def near_dup_clusters(docs, *, text_col: str = "text",
 def resolve_near_duplicates(docs, *, text_col: str = "text",
                             key_col: str = "doc_id", n: int = 3,
                             threshold: float = 0.6,
-                            max_bucket_size: int | None = None,
+                            max_bucket_size: int | None = 256,
                             broadcast_limit: int = 2_000_000):
     """Survivor view: ``docs`` minus every non-canonical near-dup cluster
     member (the deduplication a training pipeline actually applies)."""

@@ -67,9 +67,13 @@ def cross_corpus_near_duplicates(train, test, *, text_col: str = "text",
                                  threshold: float = 0.8,
                                  method: str = "minhash",
                                  minhash_k: int = 64,
-                                 max_bucket_size: int | None = None):
+                                 max_bucket_size: int | None | str = "auto"):
     """(train_id=key_a, test_id=key_b, jaccard) for cross-corpus pairs with
-    exact word n-gram jaccard >= ``threshold``."""
+    exact word n-gram jaccard >= ``threshold``.
+
+    ``max_bucket_size="auto"`` (default) applies the SAFE per-method flood
+    cap (shingle: 256, minhash: 64); pass ``None`` to uncap (oracle
+    comparisons only — the SQL self-join is flood-blind), or an int."""
     import pandas as pd
 
     union = _tag(train, _TRAIN, text_col, key_col) \
@@ -89,7 +93,8 @@ def cross_corpus_near_duplicates(train, test, *, text_col: str = "text",
             }).drop_duplicates(subset=["key", "bkey"])
 
         cand = union.map_batches(_shingles, batch_format="pandas")
-        cap = max_bucket_size if max_bucket_size is not None else 1 << 30
+        cap = 256 if max_bucket_size == "auto" else (
+            max_bucket_size if max_bucket_size is not None else 1 << 30)
     elif method == "minhash":
         bands, _r = tune_bands(threshold, minhash_k)
         banded = union.map_batches(
@@ -98,7 +103,8 @@ def cross_corpus_near_duplicates(train, test, *, text_col: str = "text",
             batch_format="pyarrow")
         cand = banded.map_batches(_add_bkey(["band", "band_hash"]),
                                   batch_format="pyarrow")
-        cap = max_bucket_size if max_bucket_size is not None else 64
+        cap = 64 if max_bucket_size == "auto" else (
+            max_bucket_size if max_bucket_size is not None else 1 << 30)
     else:
         raise ValueError(f"unknown method {method!r}")
 

@@ -208,3 +208,47 @@ class TestStreamingDriverBounds:
                 b.column("n_events"), 2)), batch_format="pyarrow")
         assert bad.count() == 0
         assert sizes == []  # the engine never driver-merged anything
+
+
+class TestFloodCapDefaults:
+    """Round-3 VERDICT #4: the shingle-blocking flood cap now DEFAULTS to
+    a finite bound (256); ``None`` (uncapped, oracle-parity) is opt-in."""
+
+    @staticmethod
+    def _flood_docs(n_docs: int, id_base: int = 0, tag: str = "u"):
+        import ray.data
+        # every doc shares the 3-gram "common alpha beta"; all other
+        # shingles are doc-unique -> one flood bucket of size n_docs
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(id_base, id_base + n_docs),
+                               pa.int64()),
+            "text": pa.array([
+                f"common alpha beta {tag}{i}a {tag}{i}b {tag}{i}c"
+                for i in range(n_docs)]),
+        }))
+
+    def test_default_cap_bounds_flood_pair_volume(self, ray_session):
+        from engine.cluster import shingle_candidate_pairs
+        docs = self._flood_docs(300)
+        # default (cap 256): the 300-doc flood bucket is dropped entirely
+        assert shingle_candidate_pairs(docs).count() == 0
+        # explicit uncap restores the full quadratic candidate set
+        uncapped = shingle_candidate_pairs(docs, max_bucket_size=None)
+        assert uncapped.count() == 300 * 299 // 2
+
+    def test_contamination_auto_cap(self, ray_session):
+        from engine.contamination import cross_corpus_near_duplicates
+        # distinct tags -> a cross (train_i, test_j) pair shares ONLY the
+        # flood shingle: jaccard = 1/7 (~0.143), above threshold 0.1
+        train = self._flood_docs(150, tag="t")
+        test = self._flood_docs(150, id_base=10_000, tag="s")
+        # 150 + 150 = 300 docs share the flood shingle > 256 -> bucket
+        # dropped under the "auto" default, so no candidates survive
+        capped = cross_corpus_near_duplicates(
+            train, test, threshold=0.1, method="shingle")
+        assert capped.count() == 0
+        # uncapped: every cross pair is a candidate and passes jaccard
+        full = cross_corpus_near_duplicates(
+            train, test, threshold=0.1, method="shingle",
+            max_bucket_size=None)
+        assert full.count() == 150 * 150
