@@ -724,6 +724,17 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort("doc_id")
 
 
+def _q_pack_sequences_bpe(sf_dir: str):
+    """Tokenizer-aware packing: same shard-local next-fit, but bins sized
+    by the BPE-ish proxy token count (letter runs + single digits +
+    punctuation) — punctuation-heavy docs pack into more bins than their
+    whitespace length suggests."""
+    from engine.textstats import pack_sequences
+    out = pack_sequences(_docs(sf_dir, columns=["doc_id", "text"]),
+                         token_budget=512, shard_size=128, counter="bpe")
+    return out.sort("doc_id")
+
+
 def _q_pii_flags(sf_dir: str):
     """PII pattern counts over documents with deterministically planted
     markers (the synthetic corpus has no organic PII): doc_id % 7 == 0
@@ -822,6 +833,25 @@ def _q_ewma_user_value(sf_dir: str):
             "event_id": b.column("event_id"),
             "ewma": pa.array(_round_half_away(
                 b.column("ewma").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_ewma_halflife_user_value(sf_dir: str):
+    """Per-user TIME-DECAYED EWMA of event values (halflife 1 h): weights
+    halve per hour of elapsed time, not per row — recurrence parity with
+    a DuckDB recursive CTE carrying (w, y) in pandas' exact op order."""
+    from engine.relational import ewma_halflife
+    out = ewma_halflife(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        halflife_seconds=3600.0)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ewma_hl": pa.array(_round_half_away(
+                b.column("ewma_hl").to_numpy(zero_copy_only=False), 4),
                 pa.float64())})
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
@@ -1092,12 +1122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_orders": _q_histogram_orders,
         "distinct_users_per_event_type": _q_distinct_users,
         "ewma_user_value": _q_ewma_user_value,
+        "ewma_halflife_user_value": _q_ewma_halflife_user_value,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
         "pii_flags_docs": _q_pii_flags,
         "redact_pii_docs": _q_redact_pii,
         "pack_sequences_docs": _q_pack_sequences,
+        "pack_sequences_bpe": _q_pack_sequences_bpe,
         "outlier_events": _q_outlier_events,
         "rolling_user_mean": _q_rolling_user_mean,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1491,6 +1523,30 @@ def oracle_sql() -> dict[str, str]:
             select event_id, round(y, 4) as ewma
             from e order by event_id
         """,
+        "ewma_halflife_user_value": """
+            with recursive
+            s as (select event_id, user_id, value,
+                         epoch_us(ts) as tus,
+                         row_number() over (partition by user_id
+                                            order by ts, event_id) as rn
+                  from events
+                  where value is not null and ts is not null),
+            e(user_id, rn, event_id, tus, w, y) as (
+              -- seed w must be DOUBLE: a bare 1.0 types the CTE column
+              -- DECIMAL(2,1) and rounds the carried weight every step
+              select user_id, rn, event_id, tus, 1.0::double, value
+              from s where rn = 1
+              union all
+              select s.user_id, s.rn, s.event_id, s.tus,
+                     e.w * pow(0.5, (s.tus - e.tus) / 3600000000.0) + 1.0,
+                     (e.w * pow(0.5, (s.tus - e.tus) / 3600000000.0) * e.y
+                      + s.value)
+                     / (e.w * pow(0.5, (s.tus - e.tus) / 3600000000.0)
+                        + 1.0)
+              from e join s on s.user_id = e.user_id and s.rn = e.rn + 1)
+            select event_id, round(y, 4) as ewma_hl
+            from e order by event_id
+        """,
         "percentile_rank_events": """
             select event_id,
                    percent_rank() over (order by value) as pct_rank
@@ -1503,6 +1559,28 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, doc_id // 128 as shard,
                      len(regexp_extract_all(coalesce(text, ''),
                          '\S+'))::bigint as n,
+                     row_number() over (partition by doc_id // 128
+                                        order by doc_id) as rn
+              from documents),
+            p(shard, rn, doc_id, n, running, bin) as (
+              select shard, rn, doc_id, n, n, 0::bigint from s
+              where rn = 1
+              union all
+              select s.shard, s.rn, s.doc_id, s.n,
+                     case when p.running + s.n <= 512
+                          then p.running + s.n else s.n end,
+                     case when p.running + s.n <= 512
+                          then p.bin else p.bin + 1 end
+              from p join s on s.shard = p.shard and s.rn = p.rn + 1)
+            select doc_id, shard, bin, n as n_tokens
+            from p order by doc_id
+        """,
+        "pack_sequences_bpe": r"""
+            with recursive
+            s as (
+              select doc_id, doc_id // 128 as shard,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::bigint as n,
                      row_number() over (partition by doc_id // 128
                                         order by doc_id) as rn
               from documents),

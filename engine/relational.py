@@ -846,6 +846,57 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("part").map_groups(_ewm, batch_format="pandas")
 
 
+def ewma_halflife(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                  val_col: str = "value", id_col: str = "event_id",
+                  halflife_seconds: float = 3600.0,
+                  batch_size: int = 65536):
+    """Per-key TIME-DECAYED exponentially weighted mean: the weight of an
+    observation halves every ``halflife_seconds`` of elapsed time, so
+    irregular event gaps decay correctly (a 3-day-old click matters less
+    than one from 3 seconds ago regardless of how many rows sit between).
+
+    ``y_n = sum_i 0.5^((t_n-t_i)/h) * v_i / sum_i 0.5^((t_n-t_i)/h)``
+    (pandas ``ewm(halflife=Timedelta, times=...)`` semantics), computed by
+    the incremental recurrence ``w' = w * 0.5^(dt/h); y_n = (w'*y_{n-1} +
+    v_n)/(w'+1); w = w'+1`` — the same op order a recursive-CTE oracle can
+    replay, so parity holds to float ulps.
+
+    Distribution shape matches :func:`ewma`: whole keys co-locate on P
+    coarse hash partitions (only (id, key, ts, val) rows shuffle, once)
+    and pandas' grouped time-EWM Cython kernel runs once per partition.
+    NULL contract: rows with NULL value OR NULL timestamp are dropped
+    before the recurrence (``WHERE val IS NOT NULL AND ts IS NOT NULL``).
+    Returns (id, ewma_hl).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+    hl = pd.Timedelta(seconds=halflife_seconds)
+
+    def _part(df):
+        out = df[cols].dropna(subset=[val_col, ts_col]).copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _ewm(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "ewma_hl": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        y = sub.groupby(key_col, sort=False)[val_col] \
+            .ewm(halflife=hl, times=sub[ts_col]).mean() \
+            .reset_index(level=0, drop=True).sort_index()
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "ewma_hl": y.to_numpy()})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_ewm, batch_format="pandas")
+
+
 def q5_local_supplier_volume(lineitem_ds, orders_ds, customer_ds,
                              supplier_ds, nation_ds, region_ds, *,
                              region_name: str = "ASIA",

@@ -498,12 +498,18 @@ def redact_pii(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
 def pack_sequences(ds, *, text_col: str = "text", key_col: str = "doc_id",
                    token_budget: int = 512, shard_size: int = 128,
-                   batch_size: int = 65536):
+                   counter: str = "whitespace", batch_size: int = 65536):
     """Sequence packing for training: assign documents to fixed
     token-budget bins with NEXT-FIT in doc-id order, shard-locally —
     bins never span shards (``shard = key // shard_size``), so every
     shard packs independently and deterministically at any parallelism.
     A document longer than the budget gets its own bin.
+
+    ``counter`` picks the token-length model the bins are sized by:
+    ``"whitespace"`` (``\\S+`` runs) or ``"bpe"`` (the deterministic
+    BPE-ish proxy ``[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]`` — tokenizer-aware
+    packing changes bin shapes because punctuation-heavy and digit-heavy
+    docs count much longer than their whitespace length).
 
     Returns (key, shard, bin, n_tokens); ``bin`` numbers restart per
     shard. Shards co-locate on coarse hash partitions; within a shard the
@@ -515,11 +521,18 @@ def pack_sequences(ds, *, text_col: str = "text", key_col: str = "doc_id",
     from engine.sketches import hash64
     from engine.shuffle import reduce_blocks
     P = reduce_blocks()
+    if counter == "whitespace":
+        _count = token_count_batch
+    elif counter == "bpe":
+        def _count(texts):
+            return pc.count_substring_regex(texts, _BPE_ISH)
+    else:
+        raise ValueError(f"unknown counter {counter!r}")
 
     def _counts(b: pa.Table) -> pa.Table:
         t = b.column(text_col)
         keys = b.column(key_col).to_numpy(zero_copy_only=False)
-        n = pc.cast(pc.fill_null(token_count_batch(t), 0),
+        n = pc.cast(pc.fill_null(_count(t), 0),
                     pa.int64()).to_numpy(zero_copy_only=False)
         shard = keys // shard_size
         return pa.table({

@@ -956,6 +956,71 @@ class TestEwma:
             assert abs(got[eid] - exp[eid]) < 1e-9, eid
 
 
+class TestEwmaHalflife:
+    def test_vs_direct_definition(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import ewma_halflife
+        rng = np.random.default_rng(17)
+        n = 200
+        df = pd.DataFrame({
+            "event_id": list(range(n)),
+            "user_id": rng.integers(0, 8, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 72 * 3600, n), unit="s"),
+            "value": rng.normal(0, 5, n)})
+        got = ewma_halflife(ray.data.from_pandas(df).repartition(6),
+                            halflife_seconds=3600.0) \
+            .to_pandas().set_index("event_id")["ewma_hl"]
+        # direct weighted-mean definition as the reference
+        for uid, grp in df.groupby("user_id"):
+            g = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            v = g["value"].to_numpy()
+            for i in range(len(g)):
+                w = 0.5 ** ((t[i] - t[: i + 1]) / 3.6e9)
+                exp = (w * v[: i + 1]).sum() / w.sum()
+                assert abs(got[g["event_id"][i]] - exp) < 1e-9, \
+                    (uid, g["event_id"][i])
+
+    def test_time_gap_decays_regardless_of_row_count(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import ewma_halflife
+        # 1-second gaps then a 100-halflife gap: the old state must be
+        # ~fully decayed, so the last row's EWMA ~= its own value
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime([0, 1, 360_001], unit="s"),
+            "value": [100.0, 100.0, 1.0]})
+        got = ewma_halflife(ray.data.from_pandas(df),
+                            halflife_seconds=3600.0) \
+            .to_pandas().set_index("event_id")["ewma_hl"]
+        assert abs(got[2] - 1.0) < 1e-6
+        # row-count EWMA over the same rows would blend heavily instead
+        from engine.relational import ewma
+        row = ewma(ray.data.from_pandas(df), alpha=0.3) \
+            .to_pandas().set_index("event_id")["ewma"]
+        assert row[2] > 30.0
+
+    def test_null_value_and_ts_rows_dropped(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import ewma_halflife
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 1, 1],
+            "ts": pd.to_datetime([0, 10, None, 20], unit="s"),
+            "value": [1.0, None, 5.0, 3.0]})
+        got = ewma_halflife(ray.data.from_pandas(df)) \
+            .to_pandas().set_index("event_id")["ewma_hl"]
+        assert set(got.index) == {0, 3}  # NULL value / NULL ts emit nothing
+        # and the dropped rows do not advance the state
+        w = 0.5 ** (20 / 3600.0)
+        assert abs(got[3] - (w * 1.0 + 3.0) / (w + 1.0)) < 1e-9
+
+
 class TestQ5:
     def _run(self, rds, **kw):
         from engine.relational import q5_local_supplier_volume
@@ -1151,3 +1216,24 @@ class TestPackSequences:
         # two shards of two docs; bin numbering restarts per shard
         assert got["shard"].tolist() == [0, 0, 1, 1]
         assert got["bin"].tolist() == [0, 0, 0, 0]
+
+    def test_bpe_counter_changes_bin_shapes(self, ray_session):
+        import pytest
+        import ray.data
+        from engine.textstats import pack_sequences
+        # whitespace counts: 2, 2; BPE-ish counts: "a-b." -> a,-,b,. = 4
+        # plus "12!" -> 1,2,! = 3 -> 4+3=7 per doc
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a-b. 12!", "a-b. 12!"])}))
+        ws = pack_sequences(ds, token_budget=5, shard_size=100) \
+            .to_pandas().sort_values("doc_id")
+        assert ws["n_tokens"].tolist() == [2, 2]
+        assert ws["bin"].tolist() == [0, 0]  # 2+2 fits budget 5
+        bpe = pack_sequences(ds, token_budget=5, shard_size=100,
+                             counter="bpe") \
+            .to_pandas().sort_values("doc_id")
+        assert bpe["n_tokens"].tolist() == [7, 7]
+        assert bpe["bin"].tolist() == [0, 1]  # each oversized doc alone
+        with pytest.raises(ValueError):
+            pack_sequences(ds, counter="sentencepiece")
