@@ -28,11 +28,14 @@ without changing observable behavior) and triage each pattern at compile time:
     tail digits; ``\\8``/``\\9`` -> literal digit); inside a class digits
     are ALWAYS octal. A backref that appears before its group closes
     (forward ref / self ref) always matches empty in ECMA -> ``(?:)``.
+  - A backref to a *closed* group emits as the conditional ``(?(N)\\N)``:
+    ECMA matches empty when the group closed without participating (the
+    other alternation branch matched) where a bare Python ``\\N`` would
+    fail the match; the conditional reproduces both arms exactly.
 
-  Remaining divergences (documented, divergence-tested): a backref to a
-  closed-but-non-participating group matches empty in ECMA but fails in
-  Python; backrefs to groups numbered > 99 have no Python spelling
-  (compile to ``None``). Both require absurd schema patterns.
+  Remaining divergence (documented, divergence-tested): backrefs to
+  groups numbered > 99 have no Python spelling (compile to ``None``) —
+  requires an absurd 100-capture-group schema pattern.
 * ``re2_safe``: conservative whitelist for zero-copy evaluation with
   ``pyarrow.compute.match_substring_regex`` (RE2). Patterns outside the
   whitelist use the compiled Python regex in a per-batch kernel instead.
@@ -184,9 +187,15 @@ def translate_ecma(pattern: str) -> str:
                             f"backreference \\{N} not translatable")
                     close = closes.get(N)
                     if close is not None and i > close:
-                        # (?:...) wrapper so a following literal digit
-                        # cannot merge into a larger backref number
-                        out.append(f"(?:\\{digits})")
+                        # conditional backref: ECMA matches EMPTY when the
+                        # group closed without participating (e.g. the
+                        # other alternation branch matched) where a bare
+                        # Python \N would fail the match. (?(N)\N) is
+                        # exact: participated -> must match the capture,
+                        # else -> empty. The wrapper also keeps a
+                        # following literal digit from merging into a
+                        # larger backref number.
+                        out.append(f"(?({N})\\{digits})")
                     else:
                         # forward/self reference: the group cannot have
                         # captured yet -> ECMA matches empty

@@ -392,6 +392,20 @@ class TestEcmaTranslation:
         from engine.ecma import compile_ecma
         assert compile_ecma("(a)" * 100 + r"\100") is None  # no spelling
 
+    def test_non_participating_group_backref_matches_empty(self):
+        # ECMA: a backref to a group that closed WITHOUT participating
+        # matches empty (a bare Python \N would fail the match) — emitted
+        # as the conditional (?(N)\N)
+        assert self._m(r"^(?:(a)|b)\1$", "b")     # b-branch: \1 -> empty
+        assert self._m(r"^(?:(a)|b)\1$", "aa")    # a-branch: \1 -> "a"
+        assert not self._m(r"^(?:(a)|b)\1$", "ba")
+        assert not self._m(r"^(?:(a)|b)\1$", "a")  # capture must repeat
+        assert self._m(r"^(a)?\1$", "")           # optional group unset
+        assert self._m(r"^(a)?\1$", "aa")
+        assert not self._m(r"^(a)?\1$", "a")
+        # conditional emission still can't merge with a trailing digit
+        assert self._m(r"^(q)\1 1$", "qq 1")
+
     def test_class_inner_complements_exact(self):
         # \D \W \S inside a class expand to exact ECMA complement ranges
         # (Python's unicode-flavored \D\W\S would diverge on these inputs)
