@@ -169,7 +169,7 @@ def column_stats(ds, columns: Optional[Sequence[str]] = None, *,
 def exact_quantiles(ds, col: str, qs: Sequence[float], *,
                     sample_per_block: int = 128, n_candidates: int = 1024,
                     bracket_limit: int = 2_000_000, max_refine: int = 4,
-                    batch_size: int = 65536):
+                    batch_size=None):
     """EXACT ``quantile_cont``-style quantiles of a numeric column — a
     distributed selection algorithm, not a sketch (`column_stats` already
     provides t-digest approximations; this is the bit-exact path an oracle
@@ -177,12 +177,17 @@ def exact_quantiles(ds, col: str, qs: Sequence[float], *,
 
     Three map-only passes, none of which shuffles the corpus:
 
-    1. per-batch (count, evenly-spaced sorted sample) partials, tree-merged
+    1. per-BLOCK (count, evenly-spaced sorted sample) partials
+       (``batch_size=None`` -> one zero-copy batch per block), tree-merged
        (engine/shuffle.tree_reduce) into <= ``n_candidates`` candidate
        pivots — driver traffic is O(actors), never O(batches);
-    2. one vectorized rank-count pass: each batch emits the
+    2. one vectorized rank-count pass: each BLOCK emits the
        ``count(x < c)`` / ``count(x <= c)`` vectors against the broadcast
-       candidates (two np.searchsorted calls per batch), tree-summed;
+       candidates (two np.searchsorted calls per block), tree-summed;
+       partial volume is blocks x |C| x 16 B — ~13 GB total for a 100 TB
+       corpus at 128 MB blocks and the default 1024 candidates, streamed
+       through the tree, never resident at once (per fixed-row batches it
+       would be ~20x that);
        a target rank whose value IS a candidate (tie mass straddles it)
        resolves immediately;
     3. a sparse bracket fetch for unresolved ranks — only values strictly
@@ -344,7 +349,7 @@ def exact_quantiles(ds, col: str, qs: Sequence[float], *,
 
 
 def iqr_outliers(ds, col: str, *, k: float = 1.5,
-                 batch_size: int = 65536):
+                 batch_size=None):
     """Rows outside the Tukey fences ``[q1 - k*IQR, q3 + k*IQR]`` of
     ``col`` — the classic data-quality outlier screen, with the EXACT
     quantile operator supplying the fences (a sketch-derived fence would

@@ -671,6 +671,25 @@ class TestExactQuantiles:
             exp = s[k0] + (s[k1] - s[k0]) * (p - k0)
             assert abs(got[q] - exp) < 1e-12, q
 
+    def test_many_tiny_blocks(self, ray_session):
+        """Block-count stress: per-BLOCK rank partials (batch_size=None)
+        must stay exact when the input is fragmented into many tiny
+        blocks — the shape where per-fixed-row-batch partial volume would
+        explode at scale."""
+        import ray.data
+        from engine.stats import exact_quantiles
+        rng = np.random.default_rng(11)
+        vals = rng.normal(0, 100, 20_000)
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})) \
+            .repartition(64)
+        got = exact_quantiles(ds, "x", [0.01, 0.5, 0.99])
+        s = np.sort(vals)
+        for q in (0.01, 0.5, 0.99):
+            p = q * (len(s) - 1)
+            k0, k1 = int(np.floor(p)), int(np.ceil(p))
+            exp = s[k0] + (s[k1] - s[k0]) * (p - k0)
+            assert abs(got[q] - exp) < 1e-9, q
+
     def test_empty_and_nulls(self, ray_session):
         import ray.data
         from engine.stats import exact_quantiles
