@@ -856,6 +856,84 @@ def _q_ewma_halflife_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_lag_diff_user_value(sf_dir: str):
+    """Per-user first difference of event values in (ts, event_id) order
+    — ``value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` parity; first row of each user is NULL."""
+    from engine.relational import lag_diff
+    out = lag_diff(_read(sf_dir, "events",
+                         columns=["event_id", "ts", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = b.column("lag_diff").to_numpy(zero_copy_only=False)
+        r = _round_half_away(v, 4)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "lag_diff": pa.array([None if np.isnan(x) else float(x)
+                                  for x in r], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_grouped_moments_lineitem(sf_dir: str):
+    """Per-returnflag count/mean/sample-stddev/min/max of
+    l_extendedprice from one-pass sufficient-statistics combiners."""
+    from engine.stats import grouped_moments
+    out = grouped_moments(
+        _read(sf_dir, "lineitem", columns=["l_returnflag",
+                                           "l_extendedprice"]),
+        group_col="l_returnflag", value_col="l_extendedprice")
+
+    def _round(b: pa.Table) -> pa.Table:
+        def r4(c):
+            return pa.array(_round_half_away(
+                b.column(c).to_numpy(zero_copy_only=False), 4),
+                pa.float64())
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("n"), "mean": r4("mean"),
+            "std_samp": r4("std_samp"),
+            "vmin": r4("vmin"), "vmax": r4("vmax")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+def _q_grouped_corr_lineitem(sf_dir: str):
+    """Per-returnflag Pearson correlation of (l_quantity,
+    l_extendedprice) from one-pass sufficient statistics."""
+    from engine.stats import grouped_corr
+    out = grouped_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        group_col="l_returnflag", x_col="l_quantity",
+        y_col="l_extendedprice")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("n"),
+            "pearson_r": pa.array(_round_half_away(
+                b.column("corr").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+def _q_winsorize_events(sf_dir: str):
+    """events.value clipped to its exact [p05, p95] quantile fences (the
+    fences from the distributed selection operator, quantile_cont-exact)."""
+    from engine.stats import winsorize
+    out = winsorize(_read(sf_dir, "events", columns=["event_id", "value"]),
+                    "value", lower_q=0.05, upper_q=0.95)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value": pa.array(_round_half_away(
+                b.column("value").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_distinct_users(sf_dir: str):
     """Exact distinct users per event type — the two-level count-distinct
     shape (in-batch pair dedup, pair-hash co-location, bounded final
@@ -1123,6 +1201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_event_type": _q_distinct_users,
         "ewma_user_value": _q_ewma_user_value,
         "ewma_halflife_user_value": _q_ewma_halflife_user_value,
+        "lag_diff_user_value": _q_lag_diff_user_value,
+        "grouped_moments_lineitem": _q_grouped_moments_lineitem,
+        "grouped_corr_lineitem": _q_grouped_corr_lineitem,
+        "winsorize_events": _q_winsorize_events,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
@@ -1551,6 +1633,38 @@ def oracle_sql() -> dict[str, str]:
             select event_id,
                    percent_rank() over (order by value) as pct_rank
             from events where value is not null
+            order by event_id
+        """,
+        "lag_diff_user_value": """
+            select event_id,
+                   round(value - lag(value) over (
+                       partition by user_id order by ts, event_id),
+                         4) as lag_diff
+            from events order by event_id
+        """,
+        "grouped_moments_lineitem": """
+            select l_returnflag, count(l_extendedprice) as n,
+                   round(avg(l_extendedprice), 4) as mean,
+                   round(stddev_samp(l_extendedprice), 4) as std_samp,
+                   round(min(l_extendedprice), 4) as vmin,
+                   round(max(l_extendedprice), 4) as vmax
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "grouped_corr_lineitem": """
+            select l_returnflag, count(*) as n,
+                   round(corr(l_quantity, l_extendedprice), 6) as pearson_r
+            from lineitem
+            where l_quantity is not null and l_extendedprice is not null
+            group by l_returnflag order by l_returnflag
+        """,
+        "winsorize_events": """
+            with b as (
+                select quantile_cont(value, 0.05) as lo,
+                       quantile_cont(value, 0.95) as hi
+                from events where value is not null)
+            select event_id,
+                   round(least(greatest(value, b.lo), b.hi), 4) as value
+            from events, b where value is not null
             order by event_id
         """,
         "pack_sequences_docs": r"""

@@ -897,6 +897,45 @@ def ewma_halflife(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("part").map_groups(_ewm, batch_format="pandas")
 
 
+def lag_diff(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+             val_col: str = "value", id_col: str = "event_id",
+             batch_size: int = 65536):
+    """Per-key first difference in event order: ``v_n - v_{n-1}`` over
+    rows ordered by (ts, id) within key — ``value - LAG(value) OVER
+    (PARTITION BY key ORDER BY ts, id)`` parity. The first row of each
+    key (and any row whose neighbor value is NULL) reports NULL.
+
+    Same distribution shape as :func:`ewma`: whole keys co-locate on P
+    coarse hash partitions (only (id, key, ts, val) rows shuffle, once)
+    and one vectorized ``groupby(...).diff()`` Cython pass runs per
+    partition. Returns (id, lag_diff).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _diff(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "lag_diff": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        d = sub.groupby(key_col, sort=False)[val_col].diff()
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "lag_diff": d.to_numpy()})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_diff, batch_format="pandas")
+
+
 def q5_local_supplier_volume(lineitem_ds, orders_ds, customer_ds,
                              supplier_ds, nation_ds, region_ds, *,
                              region_name: str = "ASIA",

@@ -371,6 +371,161 @@ def iqr_outliers(ds, col: str, *, k: float = 1.5,
                           batch_size=batch_size)
 
 
+def winsorize(ds, col: str, *, lower_q: float = 0.05,
+              upper_q: float = 0.95, batch_size=None):
+    """Clip ``col`` to its exact ``[lower_q, upper_q]`` quantile fences —
+    the standard heavy-tail guard before feature scaling. The fences come
+    from :func:`exact_quantiles` (bit-compatible with ``quantile_cont``),
+    so the clip is SQL-reproducible: ``least(greatest(v, lo), hi)``.
+
+    The clip pass is map-only (one ``np.clip`` per block); rows with a
+    NULL value are dropped (SQL parity: ``WHERE col IS NOT NULL``) so the
+    output column is never NaN-vs-NULL ambiguous. Returns the input rows
+    with ``col`` replaced by the clipped value.
+    """
+    q = exact_quantiles(ds, col, [lower_q, upper_q], batch_size=batch_size)
+    lo, hi = q[float(lower_q)], q[float(upper_q)]
+
+    def _clip(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(col)))
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        return b.set_column(b.schema.get_field_index(col), col,
+                            pa.array(np.clip(v, lo, hi), pa.float64()))
+
+    return ds.map_batches(_clip, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def grouped_moments(ds, *, group_col: str, value_col: str,
+                    batch_size=None):
+    """Per-group count / mean / sample-stddev / min / max in ONE corpus
+    pass — the classic sufficient-statistics shape: each block collapses
+    to per-group ``(n, sum, sumsq, min, max)`` combiner rows inside
+    ``map_batches``, so only group-count rows ever shuffle, and the final
+    moments come from the merged sums (``var = (s2 - s1^2/n)/(n-1)``).
+
+    The sum-of-squares estimator's cancellation error is ~sqrt(n)*eps
+    relative to ``s2`` — far below any reporting precision for values
+    within a few orders of magnitude of their mean (the adversarial case,
+    mean >> stddev by 1e8, is the one textbook caveat). NULL values are
+    ignored (SQL aggregate semantics). Returns
+    (group, n, mean, std_samp, vmin, vmax); groups with n == 1 report
+    NULL std_samp like ``stddev_samp``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum, Min, Max
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "n": [], "s1": [],
+                                 "s2": [], "vmin": [], "vmax": []})
+        sub = df[[group_col, value_col]].dropna()
+        v = sub[value_col].astype(np.float64)
+        g = pd.DataFrame({group_col: sub[group_col], "v": v, "v2": v * v}) \
+            .groupby(group_col, sort=False).agg(
+                n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum"),
+                vmin=("v", "min"), vmax=("v", "max")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = balance(ds.map_batches(_partial, batch_format="pandas",
+                                   batch_size=batch_size))
+    agg = parts.groupby(group_col).aggregate(
+        Sum("n"), Sum("s1"), Sum("s2"), Min("vmin"), Max("vmax"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64()),
+                             "std_samp": pa.array([], pa.float64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s1 = b.column("sum(s1)").to_numpy(zero_copy_only=False)
+        s2 = b.column("sum(s2)").to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = np.maximum(s2 - s1 * s1 / n, 0.0) / (n - 1.0)
+            std = np.where(n > 1, np.sqrt(var), np.nan)
+        return pa.table({
+            group_col: b.column(group_col),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "std_samp": pa.array([None if np.isnan(x) else float(x)
+                                  for x in std], pa.float64()),
+            "vmin": pc.cast(b.column("min(vmin)"), pa.float64()),
+            "vmax": pc.cast(b.column("max(vmax)"), pa.float64())})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
+                 batch_size=None):
+    """Per-group Pearson correlation of two numeric columns in ONE corpus
+    pass via sufficient statistics ``(n, sx, sy, sxx, syy, sxy)`` combined
+    inside ``map_batches`` — only group-count rows shuffle.
+
+    ``r = (sxy - sx*sy/n) / sqrt((sxx - sx^2/n) * (syy - sy^2/n))`` —
+    algebraically ``corr(x, y)``; rows where EITHER value is NULL are
+    dropped (SQL pairwise semantics). Groups with n < 2 or zero variance
+    report NULL. Returns (group, n, corr).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "n": [], "sx": [],
+                                 "sy": [], "sxx": [], "syy": [], "sxy": []})
+        sub = df[[group_col, x_col, y_col]].dropna()
+        x = sub[x_col].astype(np.float64)
+        y = sub[y_col].astype(np.float64)
+        g = pd.DataFrame({group_col: sub[group_col], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y}) \
+            .groupby(group_col, sort=False).agg(
+                n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                sxx=("xx", "sum"), syy=("yy", "sum"),
+                sxy=("xy", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = balance(ds.map_batches(_partial, batch_format="pandas",
+                                   batch_size=batch_size))
+    agg = parts.groupby(group_col).aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "corr": pa.array([], pa.float64())})
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = b.column("sum(sx)").to_numpy(zero_copy_only=False)
+        sy = b.column("sum(sy)").to_numpy(zero_copy_only=False)
+        sxx = b.column("sum(sxx)").to_numpy(zero_copy_only=False)
+        syy = b.column("sum(syy)").to_numpy(zero_copy_only=False)
+        sxy = b.column("sum(sxy)").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy - sx * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            r = cov / np.sqrt(vx * vy)
+            r = np.where((n > 1) & (vx > 0) & (vy > 0), r, np.nan)
+        return pa.table({
+            group_col: b.column(group_col),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "corr": pa.array([None if np.isnan(x) else float(x)
+                              for x in r], pa.float64())})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def grouped_quantiles(ds, *, group_col: str, value_col: str,
                       qs: Sequence[float], batch_size: int = 65536):
     """Per-group exact ``quantile_cont`` quantiles: one output row per

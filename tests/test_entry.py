@@ -81,9 +81,14 @@ def test_sql_checked_query(contract, con, name):
     if len(got):
         for c in got.columns:
             if got[c].dtype.kind == "f":
-                assert np.allclose(got[c].astype(float),
-                                   exp[c].astype(float),
-                                   rtol=0, atol=1e-12), f"{name}.{c}"
+                g = got[c].astype(float).to_numpy()
+                e = exp[c].astype(float).to_numpy()
+                # NULL/NaN positions must agree (SQL NULL arrives as NaN
+                # from .df()), then compare the finite values
+                assert (np.isnan(g) == np.isnan(e)).all(), \
+                    f"{name}.{c} NULL mask mismatch"
+                assert np.allclose(g, e, rtol=0, atol=1e-12,
+                                   equal_nan=True), f"{name}.{c}"
             else:
                 assert (got[c].values == exp[c].values).all(), \
                     f"{name}.{c} mismatch"

@@ -1256,3 +1256,125 @@ class TestPackSequences:
         assert bpe["bin"].tolist() == [0, 1]  # each oversized doc alone
         with pytest.raises(ValueError):
             pack_sequences(ds, counter="sentencepiece")
+
+
+class TestGroupedMoments:
+    def test_vs_duckdb(self, rds):
+        from engine.stats import grouped_moments
+        got = grouped_moments(rds("lineitem"), group_col="l_returnflag",
+                              value_col="l_extendedprice").to_pandas() \
+            .sort_values("l_returnflag").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select l_returnflag, count(l_extendedprice) n,
+                   avg(l_extendedprice) mean,
+                   stddev_samp(l_extendedprice) std_samp,
+                   min(l_extendedprice)::double vmin,
+                   max(l_extendedprice)::double vmax
+            from read_parquet('{SF}/lineitem.parquet')
+            group by l_returnflag order by l_returnflag
+        """).df()
+        assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        for c in ("mean", "std_samp", "vmin", "vmax"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
+
+    def test_singleton_group_null_std_and_nulls_dropped(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_moments
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a", "a", "b", "b", "c"]),
+            "v": pa.array([1.0, 3.0, None, 5.0, None], pa.float64())}))
+        out = grouped_moments(ds, group_col="g", value_col="v") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        # group c is all-NULL -> absent; group b has one value -> NULL std
+        assert out["g"].tolist() == ["a", "b"]
+        assert out["n"].tolist() == [2, 1]
+        assert out["mean"].tolist() == [2.0, 5.0]
+        assert abs(out["std_samp"][0] - np.sqrt(2.0)) < 1e-12
+        assert np.isnan(out["std_samp"][1])
+
+
+class TestGroupedCorr:
+    def test_vs_duckdb(self, rds):
+        from engine.stats import grouped_corr
+        got = grouped_corr(rds("lineitem"), group_col="l_returnflag",
+                           x_col="l_quantity", y_col="l_extendedprice") \
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select l_returnflag, count(*) n,
+                   corr(l_quantity, l_extendedprice) r
+            from read_parquet('{SF}/lineitem.parquet')
+            where l_quantity is not null and l_extendedprice is not null
+            group by l_returnflag order by l_returnflag
+        """).df()
+        assert got["n"].tolist() == exp["n"].tolist()
+        np.testing.assert_allclose(got["corr"], exp["r"], atol=1e-9)
+
+    def test_zero_variance_group_is_null(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_corr
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a"] * 4 + ["b"] * 3),
+            "x": pa.array([1.0, 2.0, 3.0, 4.0, 7.0, 7.0, 7.0]),
+            "y": pa.array([2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 3.0])}))
+        out = grouped_corr(ds, group_col="g", x_col="x", y_col="y") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        assert abs(out["corr"][0] - 1.0) < 1e-12  # perfectly linear
+        assert np.isnan(out["corr"][1])           # constant x -> NULL
+
+
+class TestLagDiff:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import lag_diff
+        got = lag_diff(rds("events")).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_id,
+                   value - lag(value) over (
+                       partition by user_id order by ts, event_id) d
+            from read_parquet('{SF}/events.parquet') order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        np.testing.assert_allclose(got["lag_diff"], exp["d"], atol=1e-12)
+
+    def test_null_value_propagates_not_skips(self, ray_session):
+        """LAG takes the previous ROW's value even when it is NULL — a
+        NULL does not advance-or-skip like the EWMA contract."""
+        import pandas as pd
+        import ray.data
+        from engine.relational import lag_diff
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01", "2020-01-02", "2020-01-03", "2020-01-04"])),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "value": pa.array([1.0, None, 4.0, 10.0], pa.float64())}))
+        out = lag_diff(ds).to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        vals = out["lag_diff"].tolist()
+        assert np.isnan(vals[0])        # first row of key
+        assert np.isnan(vals[1])        # NULL - 1.0 -> NULL
+        assert np.isnan(vals[2])        # 4.0 - NULL -> NULL
+        assert vals[3] == 6.0           # 10.0 - 4.0
+
+
+class TestWinsorize:
+    def test_vs_duckdb(self, rds):
+        from engine.stats import winsorize
+        got = winsorize(rds("events"), "value").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            with b as (select quantile_cont(value, 0.05) lo,
+                              quantile_cont(value, 0.95) hi
+                       from read_parquet('{SF}/events.parquet')
+                       where value is not null)
+            select event_id, least(greatest(value, b.lo), b.hi) v
+            from read_parquet('{SF}/events.parquet'), b
+            where value is not null order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        np.testing.assert_allclose(got["value"], exp["v"], atol=1e-12)
+        # fences actually bind at both ends
+        assert got["value"].min() > \
+            duckdb.sql(f"select min(value) from read_parquet("
+                       f"'{SF}/events.parquet')").fetchone()[0]
