@@ -185,6 +185,6 @@ def test_streaming_empty_micro_batch(ray_session, tmp_path):
     empty = ray.data.from_arrow(full.slice(0, 0))
     closed, summary = process_micro_batch(empty, sd, window="1h",
                                           allowed_lateness="0s")
-    assert len(closed) == 0
+    assert closed.count() == 0
     assert summary["late_events"] == 0
     assert summary["open_windows"] == 1
