@@ -33,9 +33,18 @@ without changing observable behavior) and triage each pattern at compile time:
     other alternation branch matched) where a bare Python ``\\N`` would
     fail the match; the conditional reproduces both arms exactly.
 
-  Remaining divergence (documented, divergence-tested): backrefs to
-  groups numbered > 99 have no Python spelling (compile to ``None``) —
-  requires an absurd 100-capture-group schema pattern.
+  Remaining divergences (documented, divergence-tested):
+
+  - backrefs to groups numbered > 99 have no Python spelling (compile
+    to ``None``) — requires an absurd 100-capture-group schema pattern;
+  - ECMA clears a quantified group's captures at the START of every
+    iteration (RepeatMatcher, ES2023 22.2.2.3.1), so after
+    ``(?:(a)|b)+`` a final ``b`` iteration leaves group 1 UNDEFINED and
+    a later ``\\1`` matches empty — Python retains the capture from the
+    earlier ``a`` iteration and the conditional therefore requires it.
+    No Python spelling exists for per-iteration capture clearing;
+    patterns that backreference an alternation-captured group INSIDE a
+    quantifier keep Python semantics.
 * ``re2_safe``: conservative whitelist for zero-copy evaluation with
   ``pyarrow.compute.match_substring_regex`` (RE2). Patterns outside the
   whitelist use the compiled Python regex in a per-batch kernel instead.
