@@ -201,3 +201,125 @@ class TestNewRelationalOps:
                              ascending=[True, False, True]) \
             .groupby("g").head(3)
         assert sorted(got["i"]) == sorted(exp["i"])
+
+
+class TestRound4Ops:
+    """Randomized differential tests for the round-4 operators: lag diff,
+    grouped moments / correlation, winsorize — brute-force references on
+    arbitrary small inputs, NULLs included."""
+
+    def _events(self, rng, n, n_users, null_frac=0.15):
+        vals = [float(x) for x in rng.normal(0, 10, n)]
+        nulls = rng.random(n) < null_frac
+        return {
+            "event_id": list(range(n)),
+            "user_id": [int(x) for x in rng.integers(0, n_users, n)],
+            "ts": [float(x) for x in rng.integers(0, 500, n)],
+            "value": [None if m else v for v, m in zip(vals, nulls)],
+        }
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_lag_diff_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import lag_diff
+        rng = np.random.default_rng(seed ^ 0xD1FF)
+        d = self._events(rng, 50, 4)
+        got = lag_diff(ray.data.from_arrow(pa.table(d))).to_pandas() \
+            .set_index("event_id")["lag_diff"]
+        order = sorted(range(50),
+                       key=lambda i: (d["user_id"][i], d["ts"][i], i))
+        prev: dict = {}
+        for i in order:
+            u = d["user_id"][i]
+            v, p = d["value"][i], prev.get(u, "FIRST")
+            exp = None if (p == "FIRST" or v is None or p is None) \
+                else v - p
+            g = got[i]
+            if exp is None:
+                assert np.isnan(g), i
+            else:
+                assert abs(g - exp) < 1e-12, i
+            prev[u] = v
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_grouped_moments_matches_numpy(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.stats import grouped_moments
+        rng = np.random.default_rng(seed ^ 0x30303)
+        d = self._events(rng, 60, 5)
+        ds = ray.data.from_arrow(pa.table(
+            {"g": [str(u) for u in d["user_id"]], "v": d["value"]}))
+        got = grouped_moments(ds, group_col="g", value_col="v") \
+            .to_pandas().set_index("g")
+        for u in set(d["user_id"]):
+            vs = np.array([v for i, v in enumerate(d["value"])
+                           if d["user_id"][i] == u and v is not None])
+            k = str(u)
+            if len(vs) == 0:
+                assert k not in got.index
+                continue
+            r = got.loc[k]
+            assert r["n"] == len(vs)
+            assert abs(r["mean"] - vs.mean()) < 1e-9
+            assert abs(r["vmin"] - vs.min()) < 1e-12
+            assert abs(r["vmax"] - vs.max()) < 1e-12
+            if len(vs) > 1:
+                assert abs(r["std_samp"] - vs.std(ddof=1)) < 1e-9
+            else:
+                assert np.isnan(r["std_samp"])
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_grouped_corr_matches_numpy(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.stats import grouped_corr
+        rng = np.random.default_rng(seed ^ 0xC0CC)
+        n = 60
+        g = [str(int(x)) for x in rng.integers(0, 4, n)]
+        x = [float(v) for v in rng.normal(0, 5, n)]
+        y = [a * 0.5 + float(e) for a, e in
+             zip(x, rng.normal(0, 2, n))]
+        nx = rng.random(n) < 0.1
+        x = [None if m else v for v, m in zip(x, nx)]
+        ds = ray.data.from_arrow(pa.table({"g": g, "x": x, "y": y}))
+        got = grouped_corr(ds, group_col="g", x_col="x", y_col="y") \
+            .to_pandas().set_index("g")
+        for u in set(g):
+            pairs = [(x[i], y[i]) for i in range(n)
+                     if g[i] == u and x[i] is not None]
+            if not pairs:
+                assert u not in got.index
+                continue
+            r = got.loc[u]
+            assert r["n"] == len(pairs)
+            xs = np.array([p[0] for p in pairs])
+            ys = np.array([p[1] for p in pairs])
+            if len(pairs) > 1 and xs.std() > 0 and ys.std() > 0:
+                exp = np.corrcoef(xs, ys)[0, 1]
+                assert abs(r["corr"] - exp) < 1e-9
+            else:
+                assert np.isnan(r["corr"])
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=6, deadline=None)
+    def test_winsorize_matches_numpy_quantiles(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.stats import winsorize
+        rng = np.random.default_rng(seed ^ 0x815)
+        d = self._events(rng, 80, 3)
+        got = winsorize(ray.data.from_arrow(pa.table(
+            {"event_id": d["event_id"], "value": d["value"]})), "value") \
+            .to_pandas().set_index("event_id")["value"]
+        vs = np.array([v for v in d["value"] if v is not None])
+        lo, hi = np.quantile(vs, 0.05), np.quantile(vs, 0.95)
+        for i, v in enumerate(d["value"]):
+            if v is None:
+                assert i not in got.index
+            else:
+                assert abs(got[i] - float(np.clip(v, lo, hi))) < 1e-9, i
