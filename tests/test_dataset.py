@@ -256,6 +256,24 @@ class TestAutotune:
                                 with_message=False).count()
         assert fixed == auto
 
+    def test_parallelism_cap_binds_on_narrow_corpus(self, ray_session,
+                                                    tmp_path):
+        """A narrow 100k-row corpus must not collapse into a handful of
+        32 MB batches that starve the CPUs: the batch size is capped at
+        n/(2*cpus) once that exceeds the 1024 floor."""
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+        from engine.tuning import autotune_batch_size
+        import pyarrow as pa
+        n = 100_000
+        pq.write_table(pa.table({"k": list(range(n))}),
+                       str(tmp_path / "narrow_big.parquet"))
+        b = autotune_batch_size(
+            ray.data.read_parquet(str(tmp_path / "narrow_big.parquet")))
+        cpus = int(ray.cluster_resources()["CPU"])
+        assert 1024 <= b <= max(1024, n // (2 * cpus))
+
     def test_wide_rows_get_smaller_batches(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
         import ray.data
