@@ -1135,6 +1135,73 @@ def _q_streaming_windows(sf_dir: str):
             pa.float64())})
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Log compaction: each user's single most recent event by
+    (ts, event_id) — ``row_number() OVER (PARTITION BY user_id ORDER BY
+    ts DESC, event_id DESC) = 1`` parity; all columns pass through."""
+    from engine.relational import keep_latest
+    out = keep_latest(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", ts_col="ts", id_col="event_id")
+    return out.select_columns(["user_id", "event_id", "ts", "value"]) \
+        .sort("user_id")
+
+
+def _q_pivot_events_value(sf_dir: str):
+    """Per-user value sums pivoted over the five declared event types —
+    ``coalesce(sum(value) FILTER (WHERE event_type = v), 0)`` per
+    column."""
+    from engine.relational import pivot_agg
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_agg(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "value"]),
+        group_col="user_id", pivot_col="event_type", value_col="value",
+        values=kinds)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            **{f"sum_{k}": pa.array(_round_half_away(
+                b.column(f"sum_{k}").to_numpy(zero_copy_only=False), 4),
+                pa.float64()) for k in kinds}})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
+def _hi_value_users(sf_dir: str, kind: str):
+    """Events of one type with value > 95, projected to user_id — the
+    filtered side of the set-op queries (vectorized Arrow filter)."""
+    import pyarrow.compute as pc
+
+    def _keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("event_type"), kind),
+                    pc.greater(b.column("value"), 95.0))
+        return b.filter(m).select(["user_id"])
+
+    return _read(sf_dir, "events",
+                 columns=["user_id", "event_type", "value"]) \
+        .map_batches(_keep, batch_format="pyarrow")
+
+
+def _q_click_not_purchase_users(sf_dir: str):
+    """Distinct users with a high-value (>95) click but NO high-value
+    purchase — SQL EXCEPT parity over two filtered event sets."""
+    from engine.relational import except_distinct
+    return except_distinct(_hi_value_users(sf_dir, "click"),
+                           _hi_value_users(sf_dir, "purchase"),
+                           key_col="user_id").sort("user_id")
+
+
+def _q_click_and_purchase_users(sf_dir: str):
+    """Distinct users with BOTH a high-value click and a high-value
+    purchase — SQL INTERSECT parity over two filtered event sets."""
+    from engine.relational import intersect_distinct
+    return intersect_distinct(_hi_value_users(sf_dir, "click"),
+                              _hi_value_users(sf_dir, "purchase"),
+                              key_col="user_id").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1205,6 +1272,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_moments_lineitem": _q_grouped_moments_lineitem,
         "grouped_corr_lineitem": _q_grouped_corr_lineitem,
         "winsorize_events": _q_winsorize_events,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "pivot_events_value": _q_pivot_events_value,
+        "click_not_purchase_users": _q_click_not_purchase_users,
+        "click_and_purchase_users": _q_click_and_purchase_users,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
@@ -2123,5 +2194,53 @@ def oracle_sql() -> dict[str, str]:
             select u as train_id, v as test_id, round(jac, 4) as jaccard
             from j where jac >= 0.6
             order by train_id, test_id
+        """,
+        "latest_event_per_user": """
+            select user_id, event_id, ts, value
+            from (select user_id, event_id, ts, value,
+                         row_number() over (partition by user_id
+                             order by ts desc, event_id desc) as rn
+                  from events)
+            where rn = 1
+            order by user_id
+        """,
+        "pivot_events_value": """
+            select user_id,
+                   round(coalesce(sum(value) filter (
+                       where event_type = 'click'), 0), 4) as sum_click,
+                   round(coalesce(sum(value) filter (
+                       where event_type = 'error'), 0), 4) as sum_error,
+                   round(coalesce(sum(value) filter (
+                       where event_type = 'purchase'), 0), 4)
+                       as sum_purchase,
+                   round(coalesce(sum(value) filter (
+                       where event_type = 'signup'), 0), 4) as sum_signup,
+                   round(coalesce(sum(value) filter (
+                       where event_type = 'view'), 0), 4) as sum_view
+            from events
+            group by user_id
+            order by user_id
+        """,
+        "click_not_purchase_users": """
+            select user_id from (
+              select distinct user_id from events
+              where event_type = 'click' and value > 95.0
+                and user_id is not null
+              except
+              select distinct user_id from events
+              where event_type = 'purchase' and value > 95.0
+                and user_id is not null)
+            order by user_id
+        """,
+        "click_and_purchase_users": """
+            select user_id from (
+              select distinct user_id from events
+              where event_type = 'click' and value > 95.0
+                and user_id is not null
+              intersect
+              select distinct user_id from events
+              where event_type = 'purchase' and value > 95.0
+                and user_id is not null)
+            order by user_id
         """,
     }

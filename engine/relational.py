@@ -1143,3 +1143,178 @@ def q5_local_supplier_volume(lineitem_ds, orders_ds, customer_ds,
                          "revenue": b.column("sum(rev)")})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def keep_latest(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", batch_size: int = 65536):
+    """Log compaction: keep, per key, the single most recent row by
+    ``(ts, id)`` — ``row_number() OVER (PARTITION BY key ORDER BY ts
+    DESC, id DESC) = 1`` parity. The CDC / snapshot primitive: a 100-TB
+    event log compacts to one row per live key.
+
+    Two-level shape: an in-batch keep-latest combiner first shrinks every
+    batch to at most its distinct-key count BEFORE anything shuffles (on
+    an append-heavy log that is the bulk of the reduction), then whole
+    keys co-locate on P coarse hash partitions and the same vectorized
+    sort+drop_duplicates pass picks each key's winner. No per-key Python
+    loop, no full-table sort.
+
+    NULL contract: a NULL ``ts`` sorts as the LEAST recent (SQL ``ORDER
+    BY ts DESC`` with DuckDB's default NULLS-LAST), so a NULL-ts row wins
+    only when every row of its key has a NULL ts. All input columns pass
+    through unchanged.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _latest(df):
+        if key_col not in df.columns or not len(df):
+            return df
+        sub = df.sort_values([key_col, ts_col, id_col], kind="mergesort",
+                             na_position="first")
+        return sub.drop_duplicates(subset=[key_col], keep="last")
+
+    def _part(df):
+        out = _latest(df).copy()
+        if key_col not in out.columns or not len(out):
+            out["part"] = pd.array([], dtype="int64")
+            return out
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _final(df):
+        return _latest(df).drop(columns=["part"], errors="ignore")
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_final, batch_format="pandas")
+
+
+def pivot_agg(ds, *, group_col: str, pivot_col: str, value_col: str,
+              values: list, batch_size: int = 65536):
+    """Pivot by conditional aggregation: one ``sum_<v>`` float64 column
+    per DECLARED pivot value — ``coalesce(sum(value) FILTER (WHERE
+    pivot = v), 0)`` parity per output column.
+
+    ``values`` must be declared up front: discovering them would cost an
+    extra full pass at 100 TB and make the output schema
+    data-dependent, which breaks streaming schema stability (Spark's
+    pivot demands an explicit value list at scale for the same reason).
+    Undeclared pivot values are ignored; a group with no rows for a
+    declared value reports 0.0 (the SQL mirror wraps its filtered SUM in
+    ``coalesce(.., 0)``); NULL measures add 0 to their cell.
+
+    Shape: the in-batch combiner collapses each batch to one partial row
+    per group (wide but bounded: len(values) float64 cells), so only
+    group-cardinality rows shuffle into the final per-column Sum
+    aggregate. No stage holds more than groups x values cells.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    names = [f"sum_{v}" for v in values]
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [],
+                                 **{n: pd.array([], dtype="float64")
+                                    for n in names}})
+        pv = df[pivot_col].to_numpy()
+        val = np.nan_to_num(
+            df[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        tmp = pd.DataFrame({group_col: df[group_col].to_numpy(),
+                            **{n: np.where(pv == v, val, 0.0)
+                               for n, v in zip(names, values)}})
+        return tmp.groupby(group_col, as_index=False).sum()
+
+    partials = ds.map_batches(_partial, batch_format="pandas",
+                              batch_size=batch_size)
+    agg = balance(partials).groupby(group_col) \
+        .aggregate(*[Sum(n) for n in names])
+
+    def _final(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:  # schemaless empty partition
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             **{n: pa.array([], pa.float64())
+                                for n in names}})
+        return pa.table({group_col: b.column(group_col),
+                         **{n: b.column(f"sum({n})") for n in names}})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _distinct_set_op(left, right, op: str, *, key_col: str,
+                     right_key_col: str = None,
+                     batch_size: int = 65536):
+    """Shared kernel for :func:`except_distinct` /
+    :func:`intersect_distinct` — SQL ``EXCEPT`` / ``INTERSECT`` (both
+    DISTINCT by definition) over one key column.
+
+    Shape: each side deduplicates IN-BATCH first (the combiner), so only
+    per-batch-distinct (key, side) rows carry a coarse hash-partition tag
+    into the single co-locating shuffle; the per-partition final is one
+    vectorized groupby computing each key's side span. Nothing holds a
+    global set; NULL keys are dropped (the SQL mirror filters ``key IS
+    NOT NULL`` — SQL set ops would otherwise treat NULL as a value).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    rkey = right_key_col or key_col
+
+    def _prep(col, side):
+        def _fn(df):
+            if col not in df.columns or not len(df):
+                return pd.DataFrame({key_col: [],
+                                     "side": pd.array([], dtype="int64"),
+                                     "part": pd.array([], dtype="int64")})
+            k = df[[col]].dropna().drop_duplicates()[col].to_numpy()
+            return pd.DataFrame({
+                key_col: k,
+                "side": np.full(len(k), side, dtype=np.int64),
+                "part": (hash64(k) % np.uint64(P)).astype(np.int64)})
+        return _fn
+
+    both = left.map_batches(_prep(key_col, 0), batch_format="pandas",
+                            batch_size=batch_size) \
+        .union(right.map_batches(_prep(rkey, 1), batch_format="pandas",
+                                 batch_size=batch_size))
+
+    def _resolve(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: []})
+        g = df.drop_duplicates([key_col, "side"]) \
+            .groupby(key_col)["side"].agg(["min", "max"])
+        if op == "except":
+            keep = g.index[(g["min"] == 0) & (g["max"] == 0)]
+        else:
+            keep = g.index[(g["min"] == 0) & (g["max"] == 1)]
+        return pd.DataFrame({key_col: keep.to_numpy()})
+
+    return both.groupby("part").map_groups(_resolve,
+                                           batch_format="pandas")
+
+
+def except_distinct(left, right, *, key_col: str,
+                    right_key_col: str = None,
+                    batch_size: int = 65536):
+    """Distinct keys present in ``left`` but absent from ``right`` — SQL
+    ``SELECT key FROM left EXCEPT SELECT key FROM right`` parity (NULL
+    keys dropped; see :func:`_distinct_set_op` for the shape)."""
+    return _distinct_set_op(left, right, "except", key_col=key_col,
+                            right_key_col=right_key_col,
+                            batch_size=batch_size)
+
+
+def intersect_distinct(left, right, *, key_col: str,
+                       right_key_col: str = None,
+                       batch_size: int = 65536):
+    """Distinct keys present in BOTH inputs — SQL ``INTERSECT`` parity
+    (NULL keys dropped; see :func:`_distinct_set_op` for the shape)."""
+    return _distinct_set_op(left, right, "intersect", key_col=key_col,
+                            right_key_col=right_key_col,
+                            batch_size=batch_size)

@@ -1378,3 +1378,158 @@ class TestWinsorize:
         assert got["value"].min() > \
             duckdb.sql(f"select min(value) from read_parquet("
                        f"'{SF}/events.parquet')").fetchone()[0]
+
+
+class TestKeepLatest:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import keep_latest
+        got = keep_latest(rds("events")).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select user_id, event_id, ts, value from (
+              select user_id, event_id, ts, value,
+                     row_number() over (partition by user_id
+                         order by ts desc, event_id desc) rn
+              from read_parquet('{SF}/events.parquet')) where rn = 1
+            order by user_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        np.testing.assert_allclose(got["value"], exp["value"])
+
+    def test_null_ts_loses_and_id_breaks_ties(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import keep_latest
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-02", None, "2020-01-02", None, None])),
+            "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64())}))
+        out = keep_latest(ds).to_pandas().sort_values("user_id") \
+            .reset_index(drop=True)
+        # key 7: NULL ts least recent; tie on ts -> higher event_id wins
+        assert out["event_id"].tolist() == [3, 5]
+
+    def test_shrinks_before_shuffle(self, ray_session):
+        """The in-batch combiner alone already reduces a single batch to
+        one row per key (the two-level contract)."""
+        import pandas as pd
+        import ray.data
+        from engine.relational import keep_latest
+        n = 5000
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2020-01-01"] * n)
+                           + pd.to_timedelta(np.arange(n) % 97, "s")),
+            "user_id": pa.array([i % 13 for i in range(n)], pa.int64()),
+            "value": pa.array(np.arange(n, dtype=np.float64))}))
+        out = keep_latest(ds).to_pandas()
+        assert len(out) == 13
+        assert set(out["user_id"]) == set(range(13))
+
+
+class TestPivotAgg:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import pivot_agg
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        got = pivot_agg(rds("events"), group_col="user_id",
+                        pivot_col="event_type", value_col="value",
+                        values=kinds).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select user_id,
+                   {', '.join(
+                       f"coalesce(sum(value) filter (where event_type"
+                       f" = '{k}'), 0) sum_{k}" for k in kinds)}
+            from read_parquet('{SF}/events.parquet')
+            group by user_id order by user_id
+        """).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        for k in kinds:
+            np.testing.assert_allclose(got[f"sum_{k}"], exp[f"sum_{k}"],
+                                       atol=1e-9)
+
+    def test_undeclared_values_ignored_and_zero_fill(self, ray_session):
+        import ray.data
+        from engine.relational import pivot_agg
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array([1, 1, 2], pa.int64()),
+            "p": pa.array(["a", "zzz", "b"], pa.string()),
+            "v": pa.array([2.0, 99.0, 3.0], pa.float64())}))
+        out = pivot_agg(ds, group_col="g", pivot_col="p", value_col="v",
+                        values=["a", "b"]).to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        assert out["sum_a"].tolist() == [2.0, 0.0]   # zzz ignored
+        assert out["sum_b"].tolist() == [0.0, 3.0]   # zero-fill
+
+    def test_null_measure_adds_zero(self, ray_session):
+        import ray.data
+        from engine.relational import pivot_agg
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array([1, 1], pa.int64()),
+            "p": pa.array(["a", "a"], pa.string()),
+            "v": pa.array([5.0, None], pa.float64())}))
+        out = pivot_agg(ds, group_col="g", pivot_col="p", value_col="v",
+                        values=["a"]).to_pandas()
+        assert out["sum_a"].tolist() == [5.0]
+
+
+class TestSetOps:
+    def _mk(self, ray_session, keys):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "k": pa.array(keys, pa.int64())}))
+
+    def test_except_and_intersect_vs_duckdb(self, rds):
+        from engine.relational import except_distinct, intersect_distinct
+        ev = rds("events")
+        import pyarrow.compute as pc
+
+        def side(kind):
+            def _f(b):
+                m = pc.and_(pc.equal(b.column("event_type"), kind),
+                            pc.greater(b.column("value"), 95.0))
+                return b.filter(m).select(["user_id"])
+            return ev.map_batches(_f, batch_format="pyarrow")
+
+        for op, fn in [("except", except_distinct),
+                       ("intersect", intersect_distinct)]:
+            got = fn(side("click"), side("purchase"),
+                     key_col="user_id").to_pandas()
+            got = sorted(got["user_id"]) if len(got) else []
+            exp = duckdb.sql(f"""
+                select user_id from (
+                  select distinct user_id from
+                    read_parquet('{SF}/events.parquet')
+                  where event_type = 'click' and value > 95.0
+                  {op}
+                  select distinct user_id from
+                    read_parquet('{SF}/events.parquet')
+                  where event_type = 'purchase' and value > 95.0)
+                order by user_id
+            """).df()["user_id"].tolist()
+            assert got == exp, op
+
+    def test_right_only_and_nulls_excluded(self, ray_session):
+        import ray.data
+        from engine.relational import except_distinct, intersect_distinct
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 2, None], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 3, None], pa.int64())}))
+        ex = except_distinct(left, right, key_col="k").to_pandas()
+        assert sorted(ex["k"]) == [1]       # 3 is right-only; NULL dropped
+        iv = intersect_distinct(left, right, key_col="k").to_pandas()
+        assert sorted(iv["k"]) == [2]
+
+    def test_renamed_right_key(self, ray_session):
+        import ray.data
+        from engine.relational import intersect_distinct
+        left = ray.data.from_arrow(pa.table({
+            "a": pa.array([1, 2], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "b": pa.array([2, 9], pa.int64())}))
+        out = intersect_distinct(left, right, key_col="a",
+                                 right_key_col="b").to_pandas()
+        assert out["a"].tolist() == [2]
