@@ -1202,6 +1202,35 @@ def _q_click_and_purchase_users(sf_dir: str):
                               key_col="user_id").sort("user_id")
 
 
+def _q_mode_event_type_per_user(sf_dir: str):
+    """Each user's most frequent event type, ties to the
+    lexicographically smallest — deterministic mode with max-count /
+    min-value join parity."""
+    from engine.relational import grouped_mode
+    return grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        group_col="user_id", value_col="event_type") \
+        .sort("user_id")
+
+
+def _q_running_sum_user_value(sf_dir: str):
+    """Per-user cumulative event-value sum in (ts, event_id) order —
+    ``coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING), 0)`` parity."""
+    from engine.relational import running_sum
+    out = running_sum(_read(sf_dir, "events",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "running_sum": pa.array(_round_half_away(
+                b.column("running_sum").to_numpy(zero_copy_only=False),
+                4), pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1276,6 +1305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events_value": _q_pivot_events_value,
         "click_not_purchase_users": _q_click_not_purchase_users,
         "click_and_purchase_users": _q_click_and_purchase_users,
+        "mode_event_type_per_user": _q_mode_event_type_per_user,
+        "running_sum_user_value": _q_running_sum_user_value,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
@@ -2242,5 +2273,26 @@ def oracle_sql() -> dict[str, str]:
               where event_type = 'purchase' and value > 95.0
                 and user_id is not null)
             order by user_id
+        """,
+        "mode_event_type_per_user": """
+            with c as (
+              select user_id, event_type, count(*) as n
+              from events where event_type is not null
+              group by user_id, event_type),
+            m as (select user_id, max(n) as mn from c group by user_id)
+            select c.user_id,
+                   min(c.event_type) as mode_value,
+                   m.mn as n
+            from c join m on c.user_id = m.user_id and c.n = m.mn
+            group by c.user_id, m.mn
+            order by c.user_id
+        """,
+        "running_sum_user_value": """
+            select event_id,
+                   round(coalesce(sum(value) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding), 0), 4) as running_sum
+            from events
+            order by event_id
         """,
     }

@@ -1318,3 +1318,94 @@ def intersect_distinct(left, right, *, key_col: str,
     return _distinct_set_op(left, right, "intersect", key_col=key_col,
                             right_key_col=right_key_col,
                             batch_size=batch_size)
+
+
+def grouped_mode(ds, *, group_col: str, value_col: str,
+                 batch_size: int = 65536):
+    """Most frequent ``value_col`` per ``group_col``; ties break to the
+    SMALLEST value (deterministic — SQL ``mode()`` leaves ties
+    unspecified, so the oracle mirror is the max-count / min-value join).
+    Returns (group, mode_value, n) with n = the winning count.
+
+    Two-level shape: the in-batch combiner collapses each batch to
+    (group, value, count) partial rows — distinct-pair-bounded, never raw
+    rows — then whole groups co-locate on P coarse hash partitions where
+    one vectorized sum + sort + drop_duplicates picks each group's
+    winner. NULL values are dropped (SQL mirror: ``WHERE value IS NOT
+    NULL``).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], value_col: [],
+                                 "c": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df[[group_col, value_col]].dropna()
+        g = sub.groupby([group_col, value_col], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype(np.int64)
+        g["part"] = (hash64(g[group_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _winner(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "mode_value": [],
+                                 "n": pd.array([], dtype="int64")})
+        tot = df.groupby([group_col, value_col], as_index=False)["c"].sum()
+        w = tot.sort_values([group_col, "c", value_col],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .drop_duplicates(subset=[group_col], keep="first")
+        return pd.DataFrame({group_col: w[group_col].to_numpy(),
+                             "mode_value": w[value_col].to_numpy(),
+                             "n": w["c"].to_numpy().astype(np.int64)})
+
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_winner, batch_format="pandas")
+
+
+def running_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                val_col: str = "value", id_col: str = "event_id",
+                batch_size: int = 65536):
+    """Per-key cumulative sum in event order — ``coalesce(sum(value)
+    OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING),
+    0)`` parity. NULL contract: a NULL value contributes 0 and the row
+    reports the running sum of the non-NULL values seen so far (0.0
+    before any — the SQL mirror's ``coalesce(.., 0)``).
+
+    Same coarse-partition shape as :func:`ewma`: whole keys co-locate on
+    P hash partitions (only (id, key, ts, val) rows shuffle, once) and
+    pandas' grouped cumsum Cython kernel runs once per partition. Returns
+    (id, running_sum).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _cum(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "running_sum": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        filled = sub[val_col].fillna(0.0)
+        y = filled.groupby(sub[key_col], sort=False).cumsum()
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "running_sum": y.to_numpy(dtype=np.float64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_cum, batch_format="pandas")

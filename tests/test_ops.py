@@ -1533,3 +1533,78 @@ class TestSetOps:
         out = intersect_distinct(left, right, key_col="a",
                                  right_key_col="b").to_pandas()
         assert out["a"].tolist() == [2]
+
+
+class TestGroupedMode:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import grouped_mode
+        got = grouped_mode(rds("events"), group_col="user_id",
+                           value_col="event_type").to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            with c as (select user_id, event_type, count(*) n
+                       from read_parquet('{SF}/events.parquet')
+                       group by user_id, event_type),
+            m as (select user_id, max(n) mn from c group by user_id)
+            select c.user_id, min(c.event_type) mode_value, m.mn n
+            from c join m on c.user_id = m.user_id and c.n = m.mn
+            group by c.user_id, m.mn order by c.user_id
+        """).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["mode_value"].tolist() == exp["mode_value"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_tie_breaks_to_smallest_and_nulls_drop(self, ray_session):
+        import ray.data
+        from engine.relational import grouped_mode
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array(["b", "b", "a", "a", None, "z"], pa.string())}))
+        out = grouped_mode(ds, group_col="g", value_col="v").to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        assert out["mode_value"].tolist() == ["a", "z"]  # tie -> min
+        assert out["n"].tolist() == [2, 1]               # NULL dropped
+
+    def test_partials_merge_across_batches(self, ray_session):
+        """Counts split across batches must merge before the winner is
+        picked (a per-batch argmax would get this wrong)."""
+        import ray.data
+        from engine.relational import grouped_mode
+        # 'a' is majority overall but minority within each batch tail
+        vals = ["a"] * 60 + ["b"] * 50 + ["a"] * 40
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array([1] * len(vals), pa.int64()),
+            "v": pa.array(vals, pa.string())})).repartition(10)
+        out = grouped_mode(ds, group_col="g", value_col="v").to_pandas()
+        assert out["mode_value"].tolist() == ["a"]
+        assert out["n"].tolist() == [100]
+
+
+class TestRunningSum:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import running_sum
+        got = running_sum(rds("events")).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_id,
+                   coalesce(sum(value) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding), 0) s
+            from read_parquet('{SF}/events.parquet') order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        np.testing.assert_allclose(got["running_sum"], exp["s"],
+                                   atol=1e-9)
+
+    def test_null_contributes_zero(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import running_sum
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01", "2020-01-02", "2020-01-03"])),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "value": pa.array([None, 2.0, 3.0], pa.float64())}))
+        out = running_sum(ds).to_pandas().sort_values("event_id")
+        assert out["running_sum"].tolist() == [0.0, 2.0, 5.0]
