@@ -323,3 +323,123 @@ class TestRound4Ops:
                 assert i not in got.index
             else:
                 assert abs(got[i] - float(np.clip(v, lo, hi))) < 1e-9, i
+
+
+class TestRound4LateOps:
+    """Randomized differential tests for the late round-4 operators:
+    keep-latest, pivot, set ops, grouped mode, running sum — brute-force
+    references on arbitrary small inputs, NULLs included."""
+
+    def _events(self, rng, n, n_users, null_frac=0.15):
+        vals = [float(x) for x in rng.normal(0, 10, n)]
+        nulls = rng.random(n) < null_frac
+        return {
+            "event_id": list(range(n)),
+            "user_id": [int(x) for x in rng.integers(0, n_users, n)],
+            "ts": [float(x) for x in rng.integers(0, 40, n)],
+            "value": [None if m else v for v, m in zip(vals, nulls)],
+        }
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_keep_latest_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import keep_latest
+        rng = np.random.default_rng(seed ^ 0x1A7E57)
+        d = self._events(rng, 50, 5)
+        got = keep_latest(ray.data.from_arrow(pa.table(d))).to_pandas()
+        winners = {}
+        for i in range(50):
+            u = d["user_id"][i]
+            cand = (d["ts"][i], i)
+            if u not in winners or cand > winners[u]:
+                winners[u] = cand
+        assert sorted(got["event_id"]) == \
+            sorted(i for (_, i) in winners.values())
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_pivot_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import pivot_agg
+        rng = np.random.default_rng(seed ^ 0x91707)
+        n = 60
+        kinds = ["a", "b", "c"]
+        g = [int(x) for x in rng.integers(0, 5, n)]
+        p = [kinds[x] if x < 3 else "zz"
+             for x in rng.integers(0, 4, n)]   # some undeclared
+        v = [None if rng.random() < 0.1 else float(x)
+             for x in rng.normal(0, 5, n)]
+        ds = ray.data.from_arrow(pa.table({"g": g, "p": p, "v": v}))
+        got = pivot_agg(ds, group_col="g", pivot_col="p", value_col="v",
+                        values=kinds).to_pandas().set_index("g")
+        for grp in set(g):
+            for k in kinds:
+                exp = sum(v[i] or 0.0 for i in range(n)
+                          if g[i] == grp and p[i] == k and v[i] is not None)
+                assert abs(got.loc[grp, f"sum_{k}"] - exp) < 1e-9, (grp, k)
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_set_ops_match_python_sets(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import except_distinct, intersect_distinct
+        rng = np.random.default_rng(seed ^ 0x5E707)
+        lk = [int(x) for x in rng.integers(0, 20, 30)]
+        rk = [int(x) for x in rng.integers(10, 30, 30)]
+        left = ray.data.from_arrow(pa.table({"k": pa.array(lk, pa.int64())}))
+        right = ray.data.from_arrow(pa.table({"k": pa.array(rk, pa.int64())}))
+        ex = except_distinct(left, right, key_col="k").to_pandas()
+        got_ex = sorted(ex["k"]) if len(ex) else []
+        assert got_ex == sorted(set(lk) - set(rk))
+        iv = intersect_distinct(left, right, key_col="k").to_pandas()
+        got_iv = sorted(iv["k"]) if len(iv) else []
+        assert got_iv == sorted(set(lk) & set(rk))
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_grouped_mode_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from collections import Counter
+        from engine.relational import grouped_mode
+        rng = np.random.default_rng(seed ^ 0x30DE)
+        n = 60
+        g = [int(x) for x in rng.integers(0, 5, n)]
+        v = [None if rng.random() < 0.1 else f"v{int(x)}"
+             for x in rng.integers(0, 4, n)]
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})) \
+            .repartition(4)
+        got = grouped_mode(ds, group_col="g", value_col="v").to_pandas() \
+            .set_index("g")
+        for grp in set(g):
+            c = Counter(v[i] for i in range(n)
+                        if g[i] == grp and v[i] is not None)
+            if not c:
+                assert grp not in got.index
+                continue
+            mx = max(c.values())
+            exp = min(k for k, n_ in c.items() if n_ == mx)
+            assert got.loc[grp, "mode_value"] == exp, grp
+            assert got.loc[grp, "n"] == mx, grp
+
+    @given(st.integers(min_value=0, max_value=10_000))
+    @settings(max_examples=8, deadline=None)
+    def test_running_sum_matches_bruteforce(self, ray_session, seed):
+        import pyarrow as pa
+        import ray.data
+        from engine.relational import running_sum
+        rng = np.random.default_rng(seed ^ 0x5B5)
+        d = self._events(rng, 50, 4)
+        got = running_sum(ray.data.from_arrow(pa.table(d))).to_pandas() \
+            .set_index("event_id")["running_sum"]
+        order = sorted(range(50),
+                       key=lambda i: (d["user_id"][i], d["ts"][i], i))
+        acc: dict = {}
+        for i in order:
+            u = d["user_id"][i]
+            acc[u] = acc.get(u, 0.0) + (d["value"][i] or 0.0)
+            assert abs(got[i] - acc[u]) < 1e-9, i
