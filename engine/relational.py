@@ -1209,41 +1209,46 @@ def pivot_agg(ds, *, group_col: str, pivot_col: str, value_col: str,
 
     Shape: the in-batch combiner collapses each batch to one partial row
     per group (wide but bounded: len(values) float64 cells), so only
-    group-cardinality rows shuffle into the final per-column Sum
-    aggregate. No stage holds more than groups x values cells.
+    group-cardinality rows carry a coarse hash-partition tag into the
+    single co-locating shuffle; the per-partition final is one vectorized
+    multi-column groupby-sum. No stage holds more than groups x values
+    cells.
     """
     import pandas as pd
-    from ray.data.aggregate import Sum
-    from engine.shuffle import balance
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
     names = [f"sum_{v}" for v in values]
+
+    def _empty():
+        return pd.DataFrame({group_col: [],
+                             **{n: pd.array([], dtype="float64")
+                                for n in names},
+                             "part": pd.array([], dtype="int64")})
 
     def _partial(df):
         if group_col not in df.columns or not len(df):
-            return pd.DataFrame({group_col: [],
-                                 **{n: pd.array([], dtype="float64")
-                                    for n in names}})
+            return _empty()
         pv = df[pivot_col].to_numpy()
         val = np.nan_to_num(
             df[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
         tmp = pd.DataFrame({group_col: df[group_col].to_numpy(),
                             **{n: np.where(pv == v, val, 0.0)
                                for n, v in zip(names, values)}})
-        return tmp.groupby(group_col, as_index=False).sum()
+        g = tmp.groupby(group_col, as_index=False).sum()
+        g["part"] = (hash64(g[group_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
 
-    partials = ds.map_batches(_partial, batch_format="pandas",
-                              batch_size=batch_size)
-    agg = balance(partials).groupby(group_col) \
-        .aggregate(*[Sum(n) for n in names])
+    def _final(df):
+        if group_col not in df.columns or not len(df):
+            return _empty().drop(columns=["part"])
+        return df.drop(columns=["part"]) \
+            .groupby(group_col, as_index=False).sum()
 
-    def _final(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:  # schemaless empty partition
-            return pa.table({group_col: pa.array([], pa.int64()),
-                             **{n: pa.array([], pa.float64())
-                                for n in names}})
-        return pa.table({group_col: b.column(group_col),
-                         **{n: b.column(f"sum({n})") for n in names}})
-
-    return agg.map_batches(_final, batch_format="pyarrow")
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_final, batch_format="pandas")
 
 
 def _distinct_set_op(left, right, op: str, *, key_col: str,
