@@ -1231,6 +1231,27 @@ def _q_running_sum_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_semi_join_events(sf_dir: str):
+    """Events of users who made a high-value (>95) purchase — row-
+    preserving WHERE EXISTS parity (every qualifying event passes
+    through once, all columns intact)."""
+    from engine.relational import semi_join
+    left = _read(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+    return semi_join(left, _hi_value_users(sf_dir, "purchase"),
+                     key_col="user_id").sort("event_id")
+
+
+def _q_anti_join_events(sf_dir: str):
+    """Events of users with NO high-value (>95) purchase — WHERE NOT
+    EXISTS parity."""
+    from engine.relational import anti_join
+    left = _read(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+    return anti_join(left, _hi_value_users(sf_dir, "purchase"),
+                     key_col="user_id").sort("event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1307,6 +1328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_and_purchase_users": _q_click_and_purchase_users,
         "mode_event_type_per_user": _q_mode_event_type_per_user,
         "running_sum_user_value": _q_running_sum_user_value,
+        "semi_join_events_purchases": _q_semi_join_events,
+        "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
         "ngram_novelty_docs": _q_ngram_novelty,
         "compression_ratio_docs": _q_compression_ratio,
@@ -2293,6 +2316,22 @@ def oracle_sql() -> dict[str, str]:
                        partition by user_id order by ts, event_id
                        rows unbounded preceding), 0), 4) as running_sum
             from events
+            order by event_id
+        """,
+        "semi_join_events_purchases": """
+            select event_id, ts, user_id, value from events e
+            where exists (
+              select 1 from events p
+              where p.user_id = e.user_id
+                and p.event_type = 'purchase' and p.value > 95.0)
+            order by event_id
+        """,
+        "anti_join_events_purchases": """
+            select event_id, ts, user_id, value from events e
+            where not exists (
+              select 1 from events p
+              where p.user_id = e.user_id
+                and p.event_type = 'purchase' and p.value > 95.0)
             order by event_id
         """,
     }

@@ -1414,3 +1414,146 @@ def running_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_cum, batch_format="pandas")
+
+
+def _distinct_keys(ds, col: str, out_col: str, batch_size: int):
+    """Globally distinct non-NULL values of ``col`` as a one-column
+    Dataset named ``out_col`` — in-batch distinct first, then one
+    co-locating shuffle with a per-partition unique. Pure Arrow so the
+    key dtype survives (a pandas round-trip would degrade
+    int64-with-NULLs to float64 and break the downstream hash join on a
+    type mismatch)."""
+    import pyarrow.compute as pc
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _p(b: pa.Table) -> pa.Table:
+        k = pc.unique(b.column(col).combine_chunks().drop_null())
+        h = (hash64(k.to_numpy(zero_copy_only=False))
+             % np.uint64(P)).astype(np.int64)
+        return pa.table({out_col: k, "part": pa.array(h, pa.int64())})
+
+    def _d(b: pa.Table) -> pa.Table:
+        if out_col not in b.column_names:  # whole-input-empty group frame
+            return pa.table({out_col: pa.array([], pa.null())})
+        k = pc.unique(b.column(out_col).combine_chunks())
+        return pa.table({out_col: k})
+
+    return ds.map_batches(_p, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size) \
+        .groupby("part").map_groups(_d, batch_format="pyarrow")
+
+
+def _exists_join(left, right, *, key_col: str, right_key_col: str,
+                 anti: bool, batch_size: int, broadcast_limit: int):
+    """Shared kernel for :func:`semi_join` / :func:`anti_join`."""
+    import ray
+    from engine.shuffle import join_partitions
+
+    rkeys = _distinct_keys(right, right_key_col, key_col,
+                           batch_size).materialize()
+    n_keys = rkeys.count()
+
+    if n_keys <= broadcast_limit:
+        # key set ships ONCE via ray.put; the filter is map-only.
+        vals = rkeys.to_pandas()
+        keys = vals[key_col].to_numpy() \
+            if key_col in vals.columns and len(vals) else \
+            np.array([], dtype=np.int64)
+        ref = ray.put(keys)
+
+        class _Filter:
+            def __init__(self, side, want_match):
+                self._ref, self._want = side, want_match
+                self._set = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                if self._set is None:
+                    k = ray.get(self._ref)
+                    self._set = pa.array(
+                        k, type=b.column(key_col).type) if len(k) \
+                        else pa.array([], b.column(key_col).type)
+                m = pc.is_in(b.column(key_col), value_set=self._set)
+                # SQL EXISTS contract: a NULL key never matches — semi
+                # drops it, anti keeps it (NOT EXISTS holds vacuously).
+                m = pc.fill_null(m, False)
+                return b.filter(m if self._want else pc.invert(m))
+
+        return left.map_batches(_Filter(ref, not anti),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=batch_size)
+
+    # distributed fall-through: hash join against the DEDUPED key set
+    # (unique keys -> an inner join cannot multiply left rows).
+    lschema = left.schema(fetch_if_missing=True)
+    base = getattr(lschema, "base_schema", lschema)  # Ray wrapper or pa
+    lcols = list(base.names)
+
+    def _typed_empty():
+        return pa.table({f.name: pa.array([], f.type) for f in base})
+
+    if not anti:
+        joined = left.join(rkeys, join_type="inner",
+                           num_partitions=join_partitions(),
+                           on=(key_col,))
+
+        def _norm(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:  # schemaless empty join partition
+                return _typed_empty()
+            return b.select(lcols)
+
+        return joined.map_batches(_norm, batch_format="pyarrow")
+
+    def _mark(df):
+        df = df.copy()
+        df["__m"] = np.int64(1)
+        return df
+
+    marked = rkeys.map_batches(_mark, batch_format="pandas")
+    joined = left.join(marked, join_type="left_outer",
+                       num_partitions=join_partitions(),
+                       on=(key_col,))
+
+    def _keep_unmatched(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if b.num_columns == 0:  # schemaless empty join partition
+            return _typed_empty()
+        return b.filter(pc.is_null(b.column("__m"))).select(lcols)
+
+    return joined.map_batches(_keep_unmatched, batch_format="pyarrow")
+
+
+def semi_join(left, right, *, key_col: str, right_key_col: str = None,
+              batch_size: int = 65536, broadcast_limit: int = 2_000_000):
+    """Row-preserving semi join: every left row whose key appears in
+    ``right`` — ``WHERE EXISTS (SELECT 1 FROM right r WHERE r.k =
+    l.k)`` parity (each left row at most once, all columns pass
+    through; NULL left keys never match and are dropped).
+
+    Size-gated routing (the repo's broadcast pattern): right's DISTINCT
+    key set below ``broadcast_limit`` ships once via ``ray.put`` and the
+    filter is a map-only vectorized ``is_in``; a larger key set falls
+    through to a distributed hash join against the globally deduped keys
+    (unique keys, so the inner join cannot multiply left rows).
+    """
+    return _exists_join(left, right, key_col=key_col,
+                        right_key_col=right_key_col or key_col,
+                        anti=False, batch_size=batch_size,
+                        broadcast_limit=broadcast_limit)
+
+
+def anti_join(left, right, *, key_col: str, right_key_col: str = None,
+              batch_size: int = 65536, broadcast_limit: int = 2_000_000):
+    """Row-preserving anti join: every left row whose key does NOT
+    appear in ``right`` — ``WHERE NOT EXISTS`` parity. NULL left keys
+    are KEPT (SQL: ``NULL = x`` is never true, so NOT EXISTS holds
+    vacuously). Routing as :func:`semi_join`; the distributed path is a
+    left-outer join against the deduped keys keeping NULL-marker rows.
+    """
+    return _exists_join(left, right, key_col=key_col,
+                        right_key_col=right_key_col or key_col,
+                        anti=True, batch_size=batch_size,
+                        broadcast_limit=broadcast_limit)

@@ -1608,3 +1608,65 @@ class TestRunningSum:
             "value": pa.array([None, 2.0, 3.0], pa.float64())}))
         out = running_sum(ds).to_pandas().sort_values("event_id")
         assert out["running_sum"].tolist() == [0.0, 2.0, 5.0]
+
+
+class TestSemiAntiJoin:
+    def _sides(self, rds):
+        import pyarrow.compute as pc
+        ev = rds("events")
+
+        def _hi(b):
+            m = pc.and_(pc.equal(b.column("event_type"), "purchase"),
+                        pc.greater(b.column("value"), 95.0))
+            return b.filter(m).select(["user_id"])
+        return ev, ev.map_batches(_hi, batch_format="pyarrow")
+
+    def test_vs_duckdb_both_routes(self, rds):
+        from engine.relational import anti_join, semi_join
+        ev, hi = self._sides(rds)
+        for anti, fn in [(False, semi_join), (True, anti_join)]:
+            exp = duckdb.sql(f"""
+                select event_id from read_parquet(
+                    '{SF}/events.parquet') e
+                where {"not" if anti else ""} exists (
+                  select 1 from read_parquet('{SF}/events.parquet') p
+                  where p.user_id = e.user_id
+                    and p.event_type = 'purchase' and p.value > 95.0)
+                order by event_id
+            """).df()["event_id"].tolist()
+            for limit in (2_000_000, 0):   # broadcast vs distributed
+                got = fn(ev, hi, key_col="user_id",
+                         broadcast_limit=limit).to_pandas()
+                ids = sorted(got["event_id"]) if len(got) else []
+                assert ids == exp, (anti, limit)
+
+    def test_null_key_contract(self, ray_session):
+        """NULL left keys: semi drops (EXISTS never true), anti keeps
+        (NOT EXISTS vacuously true) — on both routes."""
+        import ray.data
+        from engine.relational import anti_join, semi_join
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, None, 3], pa.int64()),
+            "x": pa.array(["a", "b", "c"], pa.string())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, None], pa.int64())}))
+        for limit in (10, 0):
+            s = semi_join(left, right, key_col="k",
+                          broadcast_limit=limit).to_pandas()
+            assert sorted(s["x"]) == ["a"], limit
+            a = anti_join(left, right, key_col="k",
+                          broadcast_limit=limit).to_pandas()
+            assert sorted(a["x"]) == ["b", "c"], limit
+
+    def test_duplicate_right_keys_do_not_multiply(self, ray_session):
+        import ray.data
+        from engine.relational import semi_join
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "x": pa.array(["a", "b"], pa.string())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1], pa.int64())}))
+        for limit in (10, 0):
+            out = semi_join(left, right, key_col="k",
+                            broadcast_limit=limit).to_pandas()
+            assert sorted(out["x"]) == ["a"], limit
