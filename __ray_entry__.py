@@ -1231,6 +1231,15 @@ def _q_running_sum_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_click_or_purchase_users(sf_dir: str):
+    """Distinct users with a high-value (>95) click OR purchase — SQL
+    UNION parity over two filtered event sets."""
+    from engine.relational import union_distinct
+    return union_distinct(_hi_value_users(sf_dir, "click"),
+                          _hi_value_users(sf_dir, "purchase"),
+                          key_col="user_id").sort("user_id")
+
+
 def _q_semi_join_events(sf_dir: str):
     """Events of users who made a high-value (>95) purchase — row-
     preserving WHERE EXISTS parity (every qualifying event passes
@@ -1328,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_and_purchase_users": _q_click_and_purchase_users,
         "mode_event_type_per_user": _q_mode_event_type_per_user,
         "running_sum_user_value": _q_running_sum_user_value,
+        "click_or_purchase_users": _q_click_or_purchase_users,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2317,6 +2327,17 @@ def oracle_sql() -> dict[str, str]:
                        rows unbounded preceding), 0), 4) as running_sum
             from events
             order by event_id
+        """,
+        "click_or_purchase_users": """
+            select user_id from (
+              select distinct user_id from events
+              where event_type = 'click' and value > 95.0
+                and user_id is not null
+              union
+              select distinct user_id from events
+              where event_type = 'purchase' and value > 95.0
+                and user_id is not null)
+            order by user_id
         """,
         "semi_join_events_purchases": """
             select event_id, ts, user_id, value from events e

@@ -1296,8 +1296,10 @@ def _distinct_set_op(left, right, op: str, *, key_col: str,
             .groupby(key_col)["side"].agg(["min", "max"])
         if op == "except":
             keep = g.index[(g["min"] == 0) & (g["max"] == 0)]
-        else:
+        elif op == "intersect":
             keep = g.index[(g["min"] == 0) & (g["max"] == 1)]
+        else:  # union: every key, whichever side(s) it came from
+            keep = g.index
         return pd.DataFrame({key_col: keep.to_numpy()})
 
     return both.groupby("part").map_groups(_resolve,
@@ -1321,6 +1323,16 @@ def intersect_distinct(left, right, *, key_col: str,
     """Distinct keys present in BOTH inputs — SQL ``INTERSECT`` parity
     (NULL keys dropped; see :func:`_distinct_set_op` for the shape)."""
     return _distinct_set_op(left, right, "intersect", key_col=key_col,
+                            right_key_col=right_key_col,
+                            batch_size=batch_size)
+
+
+def union_distinct(left, right, *, key_col: str,
+                   right_key_col: str = None,
+                   batch_size: int = 65536):
+    """Distinct keys present in EITHER input — SQL ``UNION`` parity
+    (NULL keys dropped; see :func:`_distinct_set_op` for the shape)."""
+    return _distinct_set_op(left, right, "union", key_col=key_col,
                             right_key_col=right_key_col,
                             batch_size=batch_size)
 

@@ -1670,3 +1670,16 @@ class TestSemiAntiJoin:
             out = semi_join(left, right, key_col="k",
                             broadcast_limit=limit).to_pandas()
             assert sorted(out["x"]) == ["a"], limit
+
+
+class TestUnionDistinct:
+    def test_vs_python_sets_and_nulls(self, ray_session):
+        import ray.data
+        from engine.relational import union_distinct
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 2, None], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "b": pa.array([2, 3, None], pa.int64())}))
+        out = union_distinct(left, right, key_col="k",
+                             right_key_col="b").to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]   # distinct; NULLs dropped
