@@ -1231,6 +1231,16 @@ def _q_running_sum_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_user_event_sequences(sf_dir: str):
+    """Each user's full ordered event-type history as one token string —
+    ``string_agg(event_type, ',' ORDER BY ts, event_id)`` parity."""
+    from engine.relational import collect_sequence
+    return collect_sequence(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])) \
+        .sort("user_id")
+
+
 def _q_click_or_purchase_users(sf_dir: str):
     """Distinct users with a high-value (>95) click OR purchase — SQL
     UNION parity over two filtered event sets."""
@@ -1338,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_per_user": _q_mode_event_type_per_user,
         "running_sum_user_value": _q_running_sum_user_value,
         "click_or_purchase_users": _q_click_or_purchase_users,
+        "user_event_sequences": _q_user_event_sequences,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2327,6 +2338,16 @@ def oracle_sql() -> dict[str, str]:
                        rows unbounded preceding), 0), 4) as running_sum
             from events
             order by event_id
+        """,
+        "user_event_sequences": """
+            select user_id,
+                   string_agg(event_type, ','
+                       order by ts, event_id) as seq,
+                   count(event_type) as n_items
+            from events
+            group by user_id
+            having count(event_type) > 0
+            order by user_id
         """,
         "click_or_purchase_users": """
             select user_id from (

@@ -1569,3 +1569,49 @@ def anti_join(left, right, *, key_col: str, right_key_col: str = None,
                         right_key_col=right_key_col or key_col,
                         anti=True, batch_size=batch_size,
                         broadcast_limit=broadcast_limit)
+
+
+def collect_sequence(ds, *, key_col: str = "user_id",
+                     ts_col: str = "ts", val_col: str = "event_type",
+                     id_col: str = "event_id", sep: str = ",",
+                     batch_size: int = 65536):
+    """Per-key ordered value concatenation — ``string_agg(val, sep ORDER
+    BY ts, id)`` parity. The training-data "user history sequence"
+    builder: a behavioral corpus keyed by user becomes one ordered token
+    string per user. NULL values are skipped (SQL string_agg semantics);
+    a key with only NULLs emits no row. Returns (key, seq, n_items).
+
+    Shape: whole keys co-locate on P coarse hash partitions (only (key,
+    ts, id, val) rows shuffle, once); the per-partition final is one
+    stable sort + grouped join. Contract: one KEY's sequence must fit a
+    worker (same per-group bound as grouped_quantiles — at 100 TB cap
+    histories upstream, e.g. keep_latest-style truncation or a time
+    filter, before collecting).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [key_col, ts_col, id_col, val_col]
+
+    def _part(df):
+        out = df[cols].dropna(subset=[val_col]).copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _collect(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "seq": [],
+                                 "n_items": pd.array([], dtype="int64")})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort")
+        g = sub.groupby(key_col, sort=False)[val_col]
+        return pd.DataFrame({
+            key_col: g.agg("first").index.to_numpy(),
+            "seq": g.agg(sep.join).to_numpy(),
+            "n_items": g.size().to_numpy().astype(np.int64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_collect, batch_format="pandas")

@@ -1683,3 +1683,36 @@ class TestUnionDistinct:
         out = union_distinct(left, right, key_col="k",
                              right_key_col="b").to_pandas()
         assert sorted(out["k"]) == [1, 2, 3]   # distinct; NULLs dropped
+
+
+class TestCollectSequence:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import collect_sequence
+        got = collect_sequence(rds("events")).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select user_id,
+                   string_agg(event_type, ',' order by ts, event_id) seq,
+                   count(event_type) n
+            from read_parquet('{SF}/events.parquet')
+            group by user_id order by user_id
+        """).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["seq"].tolist() == exp["seq"].tolist()
+        assert got["n_items"].tolist() == exp["n"].tolist()
+
+    def test_null_values_skipped_and_all_null_key_absent(self,
+                                                         ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import collect_sequence
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-02", "2020-01-01", "2020-01-03", "2020-01-01"])),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "event_type": pa.array(["b", "a", None, None], pa.string())}))
+        out = collect_sequence(ds).to_pandas()
+        assert len(out) == 1                      # key 9 all-NULL: absent
+        assert out["seq"].tolist() == ["a,b"]     # ts order, NULL skipped
+        assert out["n_items"].tolist() == [2]
