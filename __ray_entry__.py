@@ -1231,6 +1231,26 @@ def _q_running_sum_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_rolling_user_sum(sf_dir: str):
+    """Per-user trailing 3-hour rolling value SUM and non-NULL COUNT —
+    RANGE-frame window parity (tie peers included, SQL NULL
+    semantics)."""
+    from engine.relational import rolling_window_sum_count
+    out = rolling_window_sum_count(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = b.column("rolling_sum").to_numpy(zero_copy_only=False)
+        r = _round_half_away(v, 4)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "rolling_sum": pa.array([None if np.isnan(x) else float(x)
+                                     for x in r], pa.float64()),
+            "rolling_n": b.column("rolling_n")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_user_event_sequences(sf_dir: str):
     """Each user's full ordered event-type history as one token string —
     ``string_agg(event_type, ',' ORDER BY ts, event_id)`` parity."""
@@ -1349,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_user_value": _q_running_sum_user_value,
         "click_or_purchase_users": _q_click_or_purchase_users,
         "user_event_sequences": _q_user_event_sequences,
+        "rolling_user_sum": _q_rolling_user_sum,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2338,6 +2359,18 @@ def oracle_sql() -> dict[str, str]:
                        rows unbounded preceding), 0), 4) as running_sum
             from events
             order by event_id
+        """,
+        "rolling_user_sum": """
+            select event_id,
+                   round(sum(value) over (
+                       partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row), 4) as rolling_sum,
+                   count(value) over (
+                       partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row) as rolling_n
+            from events order by event_id
         """,
         "user_event_sequences": """
             select user_id,

@@ -1615,3 +1615,65 @@ def collect_sequence(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_collect, batch_format="pandas")
+
+
+def rolling_window_sum_count(ds, *, key_col: str = "user_id",
+                             ts_col: str = "ts", val_col: str = "value",
+                             id_col: str = "event_id",
+                             window_seconds: float = 3 * 3600,
+                             batch_size: int = 65536):
+    """Per-key rolling SUM and non-NULL COUNT over a trailing time
+    window — ``sum(value) OVER (... RANGE <w> PRECEDING)`` /
+    ``count(value) OVER (...)`` parity, including tie peers and SQL NULL
+    semantics (an all-NULL frame sums to NULL, counts 0).
+
+    Same single-pass composite-timestamp kernel as
+    :func:`rolling_window_mean` (whole keys per coarse partition, one
+    searchsorted pair + prefix sums, no per-key loop). Returns
+    (id, rolling_sum, rolling_n).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _roll(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "rolling_sum": [],
+                                 "rolling_n": pd.array([],
+                                                       dtype="int64")})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        ts = sub[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
+        else:
+            t = ts.astype(np.float64)
+        keys = sub[key_col].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        key_ord = np.cumsum(new_key) - 1
+        span = (t.max() - t.min()) + window_seconds + 1.0
+        m = key_ord * span + (t - t.min())
+        v = sub[val_col].to_numpy().astype(np.float64)
+        ok = ~np.isnan(v)
+        cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+        cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        j = np.searchsorted(m, m - window_seconds, side="left")
+        e = np.searchsorted(m, m, side="right")
+        sums = cs[e] - cs[j]
+        cnts = cw[e] - cw[j]
+        sums = np.where(cnts > 0, sums, np.nan)  # SQL: all-NULL -> NULL
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "rolling_sum": sums,
+                             "rolling_n": cnts.astype(np.int64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_roll, batch_format="pandas")

@@ -1716,3 +1716,39 @@ class TestCollectSequence:
         assert len(out) == 1                      # key 9 all-NULL: absent
         assert out["seq"].tolist() == ["a,b"]     # ts order, NULL skipped
         assert out["n_items"].tolist() == [2]
+
+
+class TestRollingSumCount:
+    def test_vs_duckdb(self, rds):
+        from engine.relational import rolling_window_sum_count
+        got = rolling_window_sum_count(rds("events")).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            select event_id,
+                   sum(value) over w s, count(value) over w n
+            from read_parquet('{SF}/events.parquet')
+            window w as (partition by user_id order by ts
+                         range between interval 3 hours preceding
+                               and current row)
+            order by event_id
+        """).df()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        np.testing.assert_allclose(got["rolling_sum"], exp["s"],
+                                   atol=1e-9)
+        assert got["rolling_n"].tolist() == exp["n"].tolist()
+
+    def test_all_null_frame_sql_semantics(self, ray_session):
+        import pandas as pd
+        import ray.data
+        from engine.relational import rolling_window_sum_count
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01 00:00", "2020-01-01 01:00"])),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "value": pa.array([None, 5.0], pa.float64())}))
+        out = rolling_window_sum_count(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert np.isnan(out["rolling_sum"][0])   # all-NULL frame -> NULL
+        assert out["rolling_n"].tolist() == [0, 1]
+        assert out["rolling_sum"][1] == 5.0
