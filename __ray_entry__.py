@@ -2314,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(value) filter (
                        where event_type = 'view'), 0), 4) as sum_view
             from events
+            where user_id is not null
             group by user_id
             order by user_id
         """,
@@ -2343,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
             with c as (
               select user_id, event_type, count(*) as n
               from events where event_type is not null
+                and user_id is not null
               group by user_id, event_type),
             m as (select user_id, max(n) as mn from c group by user_id)
             select c.user_id,
@@ -2378,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
                        order by ts, event_id) as seq,
                    count(event_type) as n_items
             from events
+            where user_id is not null
             group by user_id
             having count(event_type) > 0
             order by user_id

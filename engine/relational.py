@@ -359,6 +359,45 @@ def grouped_topk(ds, *, group_col: str, score_col: str, id_col: str,
         .groupby("part").map_groups(_final, batch_format="pandas")
 
 
+def _rolling_frames(df, *, key_col, ts_col, val_col, id_col,
+                    window_seconds):
+    """Shared RANGE-frame kernel for the rolling-window operators: sort
+    a partition by (key, ts, id), then compute every trailing-window
+    frame's non-NULL value sum and count with one ``np.searchsorted``
+    pair over a monotone composite timestamp (each key's times shifted
+    into a disjoint range separated by more than the window) — no
+    per-key Python loop. Tie peers at the current row's timestamp are
+    included (``side="right"``), matching SQL RANGE frames.
+
+    NULL-ts contract: rows with a NULL timestamp are DROPPED first —
+    they have no place on a RANGE axis, and the NaT->int64 sentinel
+    (-2**63) would otherwise break the composite's monotonicity and
+    corrupt every frame in the partition. Returns (sub, sums, cnts).
+    """
+    sub = df.dropna(subset=[ts_col]) \
+        .sort_values([key_col, ts_col, id_col],
+                     kind="mergesort").reset_index(drop=True)
+    if not len(sub):
+        return sub, np.array([]), np.array([], dtype=np.int64)
+    ts = sub[ts_col].to_numpy()
+    if np.issubdtype(ts.dtype, np.datetime64):
+        t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
+    else:
+        t = ts.astype(np.float64)
+    keys = sub[key_col].to_numpy()
+    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    key_ord = np.cumsum(new_key) - 1
+    span = (t.max() - t.min()) + window_seconds + 1.0
+    m = key_ord * span + (t - t.min())
+    v = sub[val_col].to_numpy().astype(np.float64)
+    ok = ~np.isnan(v)
+    cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+    cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+    j = np.searchsorted(m, m - window_seconds, side="left")
+    e = np.searchsorted(m, m, side="right")
+    return sub, cs[e] - cs[j], cw[e] - cw[j]
+
+
 def rolling_window_mean(ds, *, key_col: str = "user_id",
                         ts_col: str = "ts", val_col: str = "value",
                         id_col: str = "event_id",
@@ -367,15 +406,13 @@ def rolling_window_mean(ds, *, key_col: str = "user_id",
     """Per-key rolling mean over a trailing time window — SQL ``avg(...)
     OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <w> PRECEDING AND
     CURRENT ROW)`` semantics, including tie peers at the current row's
-    timestamp and NULL-skipping averages.
+    timestamp and NULL-skipping averages. NULL-ts rows are dropped (see
+    :func:`_rolling_frames`).
 
     Scale shape: whole keys co-locate on P coarse hash partitions
-    (P tracks cluster CPUs) and ONE vectorized pass runs per partition —
-    the per-key window arithmetic uses a monotone composite timestamp
-    (each key's times shifted into a disjoint range separated by more than
-    the window), so a single ``np.searchsorted`` pair + prefix sums
-    computes every frame without a per-key Python loop. Only the events
-    table shuffles, once, by key hash.
+    (P tracks cluster CPUs) and ONE vectorized pass runs per partition
+    (:func:`_rolling_frames`). Only the events table shuffles, once, by
+    key hash.
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -392,26 +429,9 @@ def rolling_window_mean(ds, *, key_col: str = "user_id",
     def _roll(df):
         if key_col not in df.columns or not len(df):
             return pd.DataFrame({id_col: [], "rolling_mean": []})
-        sub = df.sort_values([key_col, ts_col, id_col],
-                             kind="mergesort").reset_index(drop=True)
-        ts = sub[ts_col].to_numpy()
-        if np.issubdtype(ts.dtype, np.datetime64):
-            t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
-        else:
-            t = ts.astype(np.float64)
-        keys = sub[key_col].to_numpy()
-        new_key = np.r_[True, keys[1:] != keys[:-1]]
-        key_ord = np.cumsum(new_key) - 1
-        span = (t.max() - t.min()) + window_seconds + 1.0
-        m = key_ord * span + (t - t.min())
-        v = sub[val_col].to_numpy().astype(np.float64)
-        ok = ~np.isnan(v)
-        cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
-        cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
-        j = np.searchsorted(m, m - window_seconds, side="left")
-        e = np.searchsorted(m, m, side="right")
-        sums = cs[e] - cs[j]
-        cnts = cw[e] - cw[j]
+        sub, sums, cnts = _rolling_frames(
+            df, key_col=key_col, ts_col=ts_col, val_col=val_col,
+            id_col=id_col, window_seconds=window_seconds)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), np.nan)
         return pd.DataFrame({id_col: sub[id_col].to_numpy(),
@@ -1205,7 +1225,8 @@ def pivot_agg(ds, *, group_col: str, pivot_col: str, value_col: str,
     pivot demands an explicit value list at scale for the same reason).
     Undeclared pivot values are ignored; a group with no rows for a
     declared value reports 0.0 (the SQL mirror wraps its filtered SUM in
-    ``coalesce(.., 0)``); NULL measures add 0 to their cell.
+    ``coalesce(.., 0)``); NULL measures add 0 to their cell; NULL group
+    keys are dropped (SQL mirror: ``WHERE group IS NOT NULL``).
 
     Shape: the in-batch combiner collapses each batch to one partial row
     per group (wide but bounded: len(values) float64 cells), so only
@@ -1272,34 +1293,40 @@ def _distinct_set_op(left, right, op: str, *, key_col: str,
     rkey = right_key_col or key_col
 
     def _prep(col, side):
-        def _fn(df):
-            if col not in df.columns or not len(df):
-                return pd.DataFrame({key_col: [],
-                                     "side": pd.array([], dtype="int64"),
-                                     "part": pd.array([], dtype="int64")})
-            k = df[[col]].dropna().drop_duplicates()[col].to_numpy()
-            return pd.DataFrame({
+        # pure Arrow: Arrow->pandas would degrade an int64-with-NULL key
+        # column to float64, flipping the OUTPUT key dtype between
+        # blocks (schema-unification drift) — same rationale as
+        # _distinct_keys.
+        def _fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            k = pc.unique(b.column(col).combine_chunks().drop_null())
+            h = (hash64(k.to_numpy(zero_copy_only=False))
+                 % np.uint64(P)).astype(np.int64)
+            return pa.table({
                 key_col: k,
-                "side": np.full(len(k), side, dtype=np.int64),
-                "part": (hash64(k) % np.uint64(P)).astype(np.int64)})
+                "side": pa.array(np.full(len(k), side, dtype=np.int64)),
+                "part": pa.array(h, pa.int64())})
         return _fn
 
-    both = left.map_batches(_prep(key_col, 0), batch_format="pandas",
+    both = left.map_batches(_prep(key_col, 0), batch_format="pyarrow",
+                            zero_copy_batch=True,
                             batch_size=batch_size) \
-        .union(right.map_batches(_prep(rkey, 1), batch_format="pandas",
+        .union(right.map_batches(_prep(rkey, 1), batch_format="pyarrow",
+                                 zero_copy_batch=True,
                                  batch_size=batch_size))
 
     def _resolve(df):
         if key_col not in df.columns or not len(df):
             return pd.DataFrame({key_col: []})
+        if op == "union":  # every key — no side-span aggregation needed
+            return pd.DataFrame(
+                {key_col: df[key_col].drop_duplicates().to_numpy()})
         g = df.drop_duplicates([key_col, "side"]) \
             .groupby(key_col)["side"].agg(["min", "max"])
         if op == "except":
             keep = g.index[(g["min"] == 0) & (g["max"] == 0)]
-        elif op == "intersect":
+        else:  # intersect
             keep = g.index[(g["min"] == 0) & (g["max"] == 1)]
-        else:  # union: every key, whichever side(s) it came from
-            keep = g.index
         return pd.DataFrame({key_col: keep.to_numpy()})
 
     return both.groupby("part").map_groups(_resolve,
@@ -1348,8 +1375,9 @@ def grouped_mode(ds, *, group_col: str, value_col: str,
     (group, value, count) partial rows — distinct-pair-bounded, never raw
     rows — then whole groups co-locate on P coarse hash partitions where
     one vectorized sum + sort + drop_duplicates picks each group's
-    winner. NULL values are dropped (SQL mirror: ``WHERE value IS NOT
-    NULL``).
+    winner. NULL values AND NULL group keys are dropped (SQL mirror:
+    ``WHERE value IS NOT NULL AND group IS NOT NULL`` — pandas grouping
+    would otherwise silently omit the NULL group the SQL keeps).
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -1419,7 +1447,11 @@ def running_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
         sub = df.sort_values([key_col, ts_col, id_col],
                              kind="mergesort").reset_index(drop=True)
         filled = sub[val_col].fillna(0.0)
-        y = filled.groupby(sub[key_col], sort=False).cumsum()
+        # dropna=False: SQL PARTITION BY groups NULL keys into ONE
+        # partition with real running sums — pandas' default would
+        # exclude those rows and emit NaN for them.
+        y = filled.groupby(sub[key_col], sort=False,
+                           dropna=False).cumsum()
         return pd.DataFrame({id_col: sub[id_col].to_numpy(),
                              "running_sum": y.to_numpy(dtype=np.float64)})
 
@@ -1579,7 +1611,8 @@ def collect_sequence(ds, *, key_col: str = "user_id",
     BY ts, id)`` parity. The training-data "user history sequence"
     builder: a behavioral corpus keyed by user becomes one ordered token
     string per user. NULL values are skipped (SQL string_agg semantics);
-    a key with only NULLs emits no row. Returns (key, seq, n_items).
+    a key with only NULLs emits no row; NULL group keys are dropped (SQL
+    mirror: ``WHERE key IS NOT NULL``). Returns (key, seq, n_items).
 
     Shape: whole keys co-locate on P coarse hash partitions (only (key,
     ts, id, val) rows shuffle, once); the per-partition final is one
@@ -1625,12 +1658,12 @@ def rolling_window_sum_count(ds, *, key_col: str = "user_id",
     """Per-key rolling SUM and non-NULL COUNT over a trailing time
     window — ``sum(value) OVER (... RANGE <w> PRECEDING)`` /
     ``count(value) OVER (...)`` parity, including tie peers and SQL NULL
-    semantics (an all-NULL frame sums to NULL, counts 0).
+    semantics (an all-NULL frame sums to NULL, counts 0). NULL-ts rows
+    are dropped (see :func:`_rolling_frames`).
 
-    Same single-pass composite-timestamp kernel as
-    :func:`rolling_window_mean` (whole keys per coarse partition, one
-    searchsorted pair + prefix sums, no per-key loop). Returns
-    (id, rolling_sum, rolling_n).
+    Shares :func:`_rolling_frames` with :func:`rolling_window_mean`
+    (whole keys per coarse partition, one searchsorted pair + prefix
+    sums, no per-key loop). Returns (id, rolling_sum, rolling_n).
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -1649,30 +1682,14 @@ def rolling_window_sum_count(ds, *, key_col: str = "user_id",
             return pd.DataFrame({id_col: [], "rolling_sum": [],
                                  "rolling_n": pd.array([],
                                                        dtype="int64")})
-        sub = df.sort_values([key_col, ts_col, id_col],
-                             kind="mergesort").reset_index(drop=True)
-        ts = sub[ts_col].to_numpy()
-        if np.issubdtype(ts.dtype, np.datetime64):
-            t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
-        else:
-            t = ts.astype(np.float64)
-        keys = sub[key_col].to_numpy()
-        new_key = np.r_[True, keys[1:] != keys[:-1]]
-        key_ord = np.cumsum(new_key) - 1
-        span = (t.max() - t.min()) + window_seconds + 1.0
-        m = key_ord * span + (t - t.min())
-        v = sub[val_col].to_numpy().astype(np.float64)
-        ok = ~np.isnan(v)
-        cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
-        cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
-        j = np.searchsorted(m, m - window_seconds, side="left")
-        e = np.searchsorted(m, m, side="right")
-        sums = cs[e] - cs[j]
-        cnts = cw[e] - cw[j]
+        sub, sums, cnts = _rolling_frames(
+            df, key_col=key_col, ts_col=ts_col, val_col=val_col,
+            id_col=id_col, window_seconds=window_seconds)
         sums = np.where(cnts > 0, sums, np.nan)  # SQL: all-NULL -> NULL
         return pd.DataFrame({id_col: sub[id_col].to_numpy(),
                              "rolling_sum": sums,
-                             "rolling_n": cnts.astype(np.int64)})
+                             "rolling_n": np.asarray(cnts,
+                                                     dtype=np.int64)})
 
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \

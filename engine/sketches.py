@@ -32,12 +32,33 @@ def _splitmix(h: np.ndarray, seed: int) -> np.ndarray:
 
 
 def hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Vectorized deterministic 64-bit hash of an array of scalars."""
+    """Vectorized deterministic 64-bit hash of an array of scalars.
+
+    Float arrays hash INTEGRAL elements as their int64 value (decided
+    PER ELEMENT, so the choice never depends on what else shares the
+    batch): Arrow->pandas degrades an int64-with-NULL column to float64,
+    so the same key can arrive as int64 in one batch and float64 in
+    another — without canonicalization the two spellings hash to
+    different partitions and every coarse-partition operator would split
+    that key (verified: hash_array(int64 2) != hash_array(float64 2.0)).
+    Non-integral / non-finite / out-of-int64-range floats keep the plain
+    float hash; int64 and string inputs are bit-identical to before.
+    """
     import pandas as pd
 
     arr = np.asarray(values)
     if arr.dtype == object or arr.dtype.kind in "USm":
         h = pd.util.hash_array(arr.astype(object))
+    elif arr.dtype.kind == "f":
+        with np.errstate(invalid="ignore"):
+            intq = (np.isfinite(arr) & (arr == np.floor(arr))
+                    & (np.abs(arr) < 2.0 ** 63))
+        h = np.empty(len(arr), dtype=np.uint64)
+        if intq.any():
+            h[intq] = pd.util.hash_array(arr[intq].astype(np.int64))
+        rest = ~intq
+        if rest.any():
+            h[rest] = pd.util.hash_array(np.ascontiguousarray(arr[rest]))
     else:
         h = pd.util.hash_array(arr)
     with np.errstate(over="ignore"):

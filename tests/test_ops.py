@@ -1752,3 +1752,72 @@ class TestRollingSumCount:
         assert np.isnan(out["rolling_sum"][0])   # all-NULL frame -> NULL
         assert out["rolling_n"].tolist() == [0, 1]
         assert out["rolling_sum"][1] == 5.0
+
+
+class TestNullableKeyDtypeRegressions:
+    """Arrow->pandas degrades int64-with-NULL columns to float64; these
+    pin the fixes: hash64 canonicalizes integral floats per element, and
+    the set-op prep stays pure Arrow so key dtypes never drift."""
+
+    def test_hash64_integral_float_matches_int(self):
+        from engine.sketches import hash64
+        a = hash64(np.array([2, 7, 0], dtype=np.int64))
+        b = hash64(np.array([2.0, 7.0, -0.0], dtype=np.float64))
+        assert (a == b).all()
+        # per-element: 2.0 hashes the same regardless of batch mix
+        c = hash64(np.array([2.0, 3.5]))
+        d = hash64(np.array([3.5, np.nan, 2.0]))
+        assert c[0] == d[2] and c[1] == d[0]
+
+    def test_set_op_key_in_null_batch_still_matches(self, ray_session):
+        """A key that appears int64 on one side and float64-degraded
+        (NULL-containing batch) on the other must still co-locate."""
+        import ray.data
+        from engine.relational import intersect_distinct
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 5], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([2, None, 9], pa.int64())}))
+        out = intersect_distinct(left, right, key_col="k").to_pandas()
+        assert sorted(out["k"]) == [2]
+        assert str(out["k"].dtype) == "int64"   # no float drift
+
+    def test_rolling_null_ts_does_not_corrupt_partition(self,
+                                                        ray_session):
+        """A NULL-ts row must be dropped, not sentinel-sorted into the
+        composite timestamp where it breaks monotonicity for every
+        co-located key."""
+        import pandas as pd
+        import ray.data
+        from engine.relational import (rolling_window_mean,
+                                       rolling_window_sum_count)
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01 00:00", None, "2020-01-01 01:00"])),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "value": pa.array([1.0, 100.0, 3.0], pa.float64())}))
+        m = rolling_window_mean(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert m["event_id"].tolist() == [1, 3]          # NULL-ts absent
+        assert m["rolling_mean"].tolist() == [1.0, 2.0]  # uncorrupted
+        s = rolling_window_sum_count(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert s["rolling_sum"].tolist() == [1.0, 4.0]
+        assert s["rolling_n"].tolist() == [1, 2]
+
+    def test_running_sum_null_key_is_one_partition(self, ray_session):
+        """SQL PARTITION BY groups NULL keys together — their rows get
+        real running sums, not NaN."""
+        import pandas as pd
+        import ray.data
+        from engine.relational import running_sum
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01", "2020-01-02", "2020-01-03"])),
+            "user_id": pa.array([None, None, 5], pa.int64()),
+            "value": pa.array([1.0, 2.0, 7.0], pa.float64())}))
+        out = running_sum(ds).to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)
+        assert out["running_sum"].tolist() == [1.0, 3.0, 7.0]
