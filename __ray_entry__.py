@@ -1762,7 +1762,8 @@ def oracle_sql() -> dict[str, str]:
             s as (select event_id, user_id, value,
                          row_number() over (partition by user_id
                                             order by ts, event_id) as rn
-                  from events where value is not null),
+                  from events
+                  where value is not null and user_id is not null),
             e(user_id, rn, event_id, y) as (
               select user_id, rn, event_id, value from s where rn = 1
               union all
@@ -1779,7 +1780,8 @@ def oracle_sql() -> dict[str, str]:
                          row_number() over (partition by user_id
                                             order by ts, event_id) as rn
                   from events
-                  where value is not null and ts is not null),
+                  where value is not null and ts is not null
+                    and user_id is not null),
             e(user_id, rn, event_id, tus, w, y) as (
               -- seed w must be DOUBLE: a bare 1.0 types the CTE column
               -- DECIMAL(2,1) and rounds the carried weight every step

@@ -372,8 +372,15 @@ def _rolling_frames(df, *, key_col, ts_col, val_col, id_col,
     NULL-ts contract: rows with a NULL timestamp are DROPPED first —
     they have no place on a RANGE axis, and the NaT->int64 sentinel
     (-2**63) would otherwise break the composite's monotonicity and
-    corrupt every frame in the partition. Returns (sub, sums, cnts).
+    corrupt every frame in the partition. NULL KEYS group as ONE
+    partition, exactly like SQL ``PARTITION BY`` — elementwise
+    ``NaN != NaN`` is True, so without the both-null mask every NULL-key
+    row would silently become its own single-row partition (None-keyed
+    object arrays compare ``None != None`` False, so the two NULL
+    spellings would even disagree with each other). Returns
+    (sub, sums, cnts).
     """
+    import pandas as pd
     sub = df.dropna(subset=[ts_col]) \
         .sort_values([key_col, ts_col, id_col],
                      kind="mergesort").reset_index(drop=True)
@@ -385,7 +392,10 @@ def _rolling_frames(df, *, key_col, ts_col, val_col, id_col,
     else:
         t = ts.astype(np.float64)
     keys = sub[key_col].to_numpy()
-    new_key = np.r_[True, keys[1:] != keys[:-1]]
+    knull = pd.isna(keys)
+    with np.errstate(invalid="ignore"):
+        neq = keys[1:] != keys[:-1]
+    new_key = np.r_[True, neq & ~(knull[1:] & knull[:-1])]
     key_ord = np.cumsum(new_key) - 1
     span = (t.max() - t.min()) + window_seconds + 1.0
     m = key_ord * span + (t - t.min())
@@ -795,13 +805,6 @@ def count_distinct(ds, *, group_col: str, value_col: str,
         .groupby("part").map_groups(_dedup_count, batch_format="pandas")
     agg = balance(partials).groupby(group_col).aggregate(Sum("n"))
 
-    try:  # group dtype for the typed-empty fall-through: metadata only
-        # (never execute the plan, never capture ds in a UDF)
-        _sch = ds.schema(fetch_if_missing=False)
-        _gt = _sch.base_schema.field(group_col).type
-    except Exception:
-        _gt = pa.string()
-
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({group_col: b.column(group_col),
                          "n_distinct": b.column("sum(n)")})
@@ -814,8 +817,9 @@ def count_distinct(ds, *, group_col: str, value_col: str,
     res = res.materialize()
     if res.count() == 0:
         import ray.data
+        from engine.shuffle import column_dtype
         return ray.data.from_arrow(pa.table(
-            {group_col: pa.array([], _gt),
+            {group_col: pa.array([], column_dtype(ds, group_col)),
              "n_distinct": pa.array([], pa.int64())}))
     return res
 
@@ -837,6 +841,11 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     SQL parity is ``WHERE val IS NOT NULL`` before the recursive CTE.
     Without the drop, pandas' ewm would carry-and-reweight past a NaN
     while the SQL recurrence would poison every later row of the key.
+    NULL-KEY rows are dropped too (``AND key IS NOT NULL``): the
+    recursive-CTE oracle's ``s.key = e.key`` join can never extend a
+    NULL-key chain, and pandas' NaN-dropping groupby would otherwise
+    emit a SHORTER ewm series than the sorted frame and crash the
+    output constructor in the worker.
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -845,7 +854,7 @@ def ewma(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     cols = [id_col, key_col, ts_col, val_col]
 
     def _part(df):
-        out = df[cols].dropna(subset=[val_col]).copy()
+        out = df[cols].dropna(subset=[val_col, key_col]).copy()
         out["part"] = (hash64(out[key_col].to_numpy())
                        % np.uint64(P)).astype(np.int64)
         return out
@@ -884,9 +893,10 @@ def ewma_halflife(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     Distribution shape matches :func:`ewma`: whole keys co-locate on P
     coarse hash partitions (only (id, key, ts, val) rows shuffle, once)
     and pandas' grouped time-EWM Cython kernel runs once per partition.
-    NULL contract: rows with NULL value OR NULL timestamp are dropped
-    before the recurrence (``WHERE val IS NOT NULL AND ts IS NOT NULL``).
-    Returns (id, ewma_hl).
+    NULL contract: rows with NULL value, NULL timestamp OR NULL key are
+    dropped before the recurrence (``WHERE val IS NOT NULL AND ts IS NOT
+    NULL AND key IS NOT NULL`` — see :func:`ewma` for the NULL-key
+    rationale). Returns (id, ewma_hl).
     """
     import pandas as pd
     from engine.sketches import hash64
@@ -896,7 +906,7 @@ def ewma_halflife(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     hl = pd.Timedelta(seconds=halflife_seconds)
 
     def _part(df):
-        out = df[cols].dropna(subset=[val_col, ts_col]).copy()
+        out = df[cols].dropna(subset=[val_col, ts_col, key_col]).copy()
         out["part"] = (hash64(out[key_col].to_numpy())
                        % np.uint64(P)).astype(np.int64)
         return out
@@ -925,9 +935,15 @@ def lag_diff(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     (PARTITION BY key ORDER BY ts, id)`` parity. The first row of each
     key (and any row whose neighbor value is NULL) reports NULL.
 
+    NULL keys group as ONE partition (``dropna=False``), exactly like SQL
+    ``PARTITION BY`` — without it pandas' groupby silently excludes
+    NaN-key rows and every NULL-key row would report NULL instead of its
+    in-partition diff.
+
     Same distribution shape as :func:`ewma`: whole keys co-locate on P
-    coarse hash partitions (only (id, key, ts, val) rows shuffle, once)
-    and one vectorized ``groupby(...).diff()`` Cython pass runs per
+    coarse hash partitions (only (id, key, ts, val) rows shuffle, once;
+    NULL keys hash to one value, so the NULL partition stays whole) and
+    one vectorized ``groupby(...).diff()`` Cython pass runs per
     partition. Returns (id, lag_diff).
     """
     import pandas as pd
@@ -947,7 +963,7 @@ def lag_diff(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             return pd.DataFrame({id_col: [], "lag_diff": []})
         sub = df.sort_values([key_col, ts_col, id_col],
                              kind="mergesort").reset_index(drop=True)
-        d = sub.groupby(key_col, sort=False)[val_col].diff()
+        d = sub.groupby(key_col, sort=False, dropna=False)[val_col].diff()
         return pd.DataFrame({id_col: sub[id_col].to_numpy(),
                              "lag_diff": d.to_numpy()})
 

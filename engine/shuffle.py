@@ -60,6 +60,29 @@ def tree_reduce(parts, merge_block, *, fanout: int = 32,
     return cur
 
 
+def column_dtype(ds, col: str, default=None):
+    """Arrow dtype of ``ds``'s column ``col``, for typed-empty substitution
+    on the all-filtered-corpus corner (Ray never calls UDFs on empty
+    blocks, so a fully-filtered pipeline yields a SCHEMALESS empty).
+
+    Metadata-only first (never executes the plan); falls back to
+    ``fetch_if_missing=True`` — which may execute enough of the plan to
+    read one block — only when metadata is absent. Callers invoke this
+    lazily, inside the empty-result branch, so the fetch is a corner-case
+    cost; the alternative was guessing ``pa.string()`` for an int key and
+    returning a WRONG-TYPED empty.
+    """
+    import pyarrow as pa
+    for fetch in (False, True):
+        try:
+            sch = ds.schema(fetch_if_missing=fetch)
+            if sch is not None:
+                return sch.base_schema.field(col).type
+        except Exception:
+            pass
+    return default if default is not None else pa.string()
+
+
 def join_partitions(divisor: int = 2, default_cpus: int = 8) -> int:
     """Partition count for hash joins (``Dataset.join``).
 

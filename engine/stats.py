@@ -436,13 +436,6 @@ def grouped_moments(ds, *, group_col: str, value_col: str,
         Sum("n"), Sum("s1"), Sum("s2"), Min("vmin"), Max("vmax"))
 
     def _final(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "mean": pa.array([], pa.float64()),
-                             "std_samp": pa.array([], pa.float64()),
-                             "vmin": pa.array([], pa.float64()),
-                             "vmax": pa.array([], pa.float64())})
         n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         s1 = b.column("sum(s1)").to_numpy(zero_copy_only=False)
@@ -460,7 +453,24 @@ def grouped_moments(ds, *, group_col: str, value_col: str,
             "vmin": pc.cast(b.column("min(vmin)"), pa.float64()),
             "vmax": pc.cast(b.column("max(vmax)"), pa.float64())})
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    res = agg.map_batches(_final, batch_format="pyarrow")
+    # Ray never invokes the UDF on empty blocks (the num_columns guard
+    # would be dead code), so an all-filtered corpus — every value NULL —
+    # yields a SCHEMALESS empty that breaks downstream sort/select. The
+    # result is group-bounded, so materializing here is free (the groupby
+    # was a barrier anyway) and lets us substitute a typed empty.
+    res = res.materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], column_dtype(ds, group_col)),
+             "n": pa.array([], pa.int64()),
+             "mean": pa.array([], pa.float64()),
+             "std_samp": pa.array([], pa.float64()),
+             "vmin": pa.array([], pa.float64()),
+             "vmax": pa.array([], pa.float64())}))
+    return res
 
 
 def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
@@ -500,10 +510,6 @@ def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
         Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"), Sum("sxy"))
 
     def _final(b: pa.Table) -> pa.Table:
-        if b.num_columns == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "corr": pa.array([], pa.float64())})
         n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         sx = b.column("sum(sx)").to_numpy(zero_copy_only=False)
@@ -523,7 +529,19 @@ def grouped_corr(ds, *, group_col: str, x_col: str, y_col: str,
             "corr": pa.array([None if np.isnan(x) else float(x)
                               for x in r], pa.float64())})
 
-    return agg.map_batches(_final, batch_format="pyarrow")
+    res = agg.map_batches(_final, batch_format="pyarrow")
+    # Same all-filtered-corpus schemaless-empty corner as grouped_moments:
+    # materialize (group-bounded, the groupby was a barrier anyway) and
+    # substitute a typed empty so downstream sort/select keep working.
+    res = res.materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], column_dtype(ds, group_col)),
+             "n": pa.array([], pa.int64()),
+             "corr": pa.array([], pa.float64())}))
+    return res
 
 
 def grouped_quantiles(ds, *, group_col: str, value_col: str,
