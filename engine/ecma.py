@@ -251,7 +251,14 @@ def translate_ecma(pattern: str) -> str:
         if in_class:
             if c == "]":
                 in_class = False
-            out.append(c)
+                out.append(c)
+            elif c == "[":
+                # ECMA allows a literal "[" inside a class; Python's re
+                # warns "Possible nested set" on "[[" (a future hard
+                # error) — emit it escaped. Same match semantics.
+                out.append("\\[")
+            else:
+                out.append(c)
         elif c == "[":
             in_class = True
             out.append(c)

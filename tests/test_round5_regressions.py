@@ -35,6 +35,22 @@ def _events(keys, vals, ids=None, ts=None):
         "value": pa.array(vals, pa.float64())}))
 
 
+class TestEcmaClassLiteralBracket:
+    def test_literal_bracket_in_class_escaped(self):
+        """ECMA allows a bare '[' inside a class; Python's re warns
+        'Possible nested set' on '[[' (slated to become an error) — the
+        translator must emit it escaped, with identical semantics."""
+        import warnings
+        from engine.ecma import compile_ecma, translate_ecma
+        assert translate_ecma("[[a]") == r"[\[a]"
+        assert translate_ecma("[^[]") == r"[^\[]"
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", FutureWarning)
+            r = compile_ecma("x[[:y]")
+            assert r is not None
+            assert r.search("x[") and r.search("x:") and not r.search("xz")
+
+
 class TestEwmaNullKey:
     def test_ewma_null_key_rows_dropped_no_crash(self, ray_session):
         """NULL-key rows must be dropped (oracle: user_id IS NOT NULL),
