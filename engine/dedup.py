@@ -756,36 +756,103 @@ def simhash_fingerprints(ds, *, text_col: str = "text",
                           batch_size=batch_size, concurrency=concurrency)
 
 
+def _simhash_blocks(m: int) -> list[tuple[int, int]]:
+    """Split the 64 fingerprint bits into ``m`` near-equal (shift, width)
+    blocks; the first ``64 % m`` blocks carry the extra bit."""
+    base, extra = divmod(64, m)
+    out, start = [], 0
+    for b in range(m):
+        w = base + (1 if b < extra else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def simhash_block_count(n_docs: Optional[int], max_hamming: int = 3, *,
+                        target_load: int = 16) -> int:
+    """Smallest block count ``m`` whose bucket key space keeps the MEAN
+    bucket occupancy at or below ``1/target_load`` docs.
+
+    A combination of ``m - max_hamming`` blocks keys at least
+    ``(m - max_hamming) * (64 // m)`` bits (the conservative all-narrow
+    case), so the bucket space GROWS with ``m``: for max_hamming=3 the
+    ladder is m=4 -> 2^16 buckets (the old fixed ceiling), m=5 -> 2^24,
+    m=6 -> 2^30, m=7 -> 2^36, m=8 -> 2^40 (~10^10-10^11 docs at load
+    16). The trade is table count C(m, max_hamming) rows per doc
+    (4/10/20/35/56), which is why the smallest adequate m wins. Unknown
+    corpus size picks the mid-ladder m (max_hamming+3) rather than the
+    2^16 floor — at unknown scale the saturated-bucket cliff is the
+    worse default.
+    """
+    k = max_hamming
+    if n_docs is None:
+        return k + 3
+    for m in range(k + 1, k + 5):
+        if (1 << ((m - k) * (64 // m))) >= n_docs * target_load:
+            return m
+    return k + 5
+
+
 def simhash_near_duplicates(ds, *, text_col: str = "text",
                             key_col: str = "doc_id", max_hamming: int = 3,
                             shingle_n: int = 2, max_bucket_size: int = 64,
+                            n_blocks: Optional[int] = None,
                             batch_size: int = 8192, concurrency=None):
-    """Pairs with Hamming(simhash) <= max_hamming via 4x16-bit chunk LSH
-    (any pair within 3 bits must agree on >=1 chunk).
+    """Pairs with Hamming(simhash) <= max_hamming via block-combination
+    LSH (the simhash dedup scheme of Manku, Jain & Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): the 64-bit fingerprint
+    splits into ``m`` near-equal blocks (m > max_hamming); a pair within
+    ``max_hamming`` differing bits leaves at least ``m - max_hamming``
+    blocks untouched, so bucketing once per (m - max_hamming)-block
+    combination guarantees every qualifying pair shares >= 1 bucket.
 
-    ``max_bucket_size`` caps the members a chunk bucket may hold before it
-    is dropped as a flood (dropped buckets are logged by the hot-bucket
+    ``m`` auto-scales with the corpus (:func:`simhash_block_count`), so
+    the bucket key space grows from 2^16 (m=4, the old fixed ceiling
+    that saturated around 10^8-10^9 docs) up to 2^40 (m=8) — pass
+    ``n_blocks`` to pin it. Beyond ~10^10-10^11 docs the C(m, k) table
+    fan-out becomes the limiting cost and MinHash remains the
+    recommended path.
+
+    ``max_bucket_size`` caps the members a bucket may hold before it is
+    dropped as a flood (dropped buckets are logged by the hot-bucket
     filter) — raise it when recall over dense clusters matters more than
     worst-case pair cost.
     """
+    import itertools
+
     import pandas as pd
+
+    try:
+        n_docs = ds.count()
+    except Exception:  # pragma: no cover
+        n_docs = None
+    m = n_blocks if n_blocks is not None \
+        else simhash_block_count(n_docs, max_hamming)
+    if m <= max_hamming:
+        raise ValueError(
+            f"n_blocks must exceed max_hamming ({max_hamming}), got {m}")
+    blocks = _simhash_blocks(m)
+    combos = list(itertools.combinations(range(m), m - max_hamming))
 
     def _chunks(batch: pa.Table) -> pa.Table:
         fps = simhash_batch(batch.column(text_col).to_pylist(), shingle_n)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         n = len(fps)
-        rows = {"chunk": [], "chunk_val": [], "key": [], "simhash": []}
-        for c in range(4):
-            rows["chunk"].extend([c] * n)
-            rows["chunk_val"].extend(
-                ((fps >> np.uint64(16 * c)) & np.uint64(0xFFFF)).tolist())
-            rows["key"].extend(keys.tolist())
-            rows["simhash"].extend(fps.tolist())
+        t = len(combos)
+        vals = np.empty(t * n, dtype=np.int64)
+        for ci, combo in enumerate(combos):
+            v = np.zeros(n, dtype=np.uint64)
+            for b in combo:  # concat block values; <= 64*(m-k)/m < 63 bits
+                sh, w = blocks[b]
+                v = (v << np.uint64(w)) \
+                    | ((fps >> np.uint64(sh)) & np.uint64((1 << w) - 1))
+            vals[ci * n:(ci + 1) * n] = v.astype(np.int64)
         return pa.table({
-            "chunk": pa.array(rows["chunk"], pa.int32()),
-            "chunk_val": pa.array(rows["chunk_val"], pa.int32()),
-            "key": pa.array(rows["key"]),
-            "simhash": pa.array(rows["simhash"], pa.uint64()),
+            "chunk": pa.array(
+                np.repeat(np.arange(t, dtype=np.int32), n), pa.int32()),
+            "chunk_val": pa.array(vals, pa.int64()),
+            "key": pa.array(np.tile(keys, t)),
+            "simhash": pa.array(np.tile(fps, t), pa.uint64()),
         })
 
     def _hamming_post(pdf):
@@ -806,10 +873,7 @@ def simhash_near_duplicates(ds, *, text_col: str = "text",
     chunked = ds.map_batches(_chunks, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=batch_size,
                              concurrency=concurrency)
-    try:
-        hint = ds.count() * 4
-    except Exception:  # pragma: no cover
-        hint = None
+    hint = n_docs * len(combos) if n_docs is not None else None
     cand = _hot_bucket_join(chunked, ["chunk", "chunk_val"],
                             max_bucket_size=max_bucket_size,
                             n_rows_hint=hint)

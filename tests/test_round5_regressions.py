@@ -51,6 +51,49 @@ class TestEcmaClassLiteralBracket:
             assert r.search("x[") and r.search("x:") and not r.search("xz")
 
 
+class TestSimhashBlockScaling:
+    """The SimHash near-dup bucket space must GROW with corpus size
+    (Manku block-combination LSH) instead of saturating at the old fixed
+    2^16 chunks."""
+
+    def test_block_count_grows_with_corpus(self):
+        from engine.dedup import simhash_block_count
+        sizes = [1_000, 10**5, 10**7, 10**9, 10**11]
+        ms = [simhash_block_count(n) for n in sizes]
+        assert ms == sorted(ms)
+        assert ms[0] == 4 and ms[-1] == 8
+        widths = [(m - 3) * (64 // m) for m in ms]
+        assert widths[0] == 16 and widths[-1] == 40   # 2^16 -> 2^40
+        assert simhash_block_count(None) == 6         # unknown: mid-ladder
+
+    @pytest.mark.parametrize("m", [5, 6])
+    def test_near_dup_recall_at_wider_blocks(self, m, ray_session):
+        """Identical docs (hamming 0) must pair under every block count —
+        the combination guarantee, not an artifact of the m=4 layout."""
+        import ray.data
+        texts = [f"unique filler document number {i} about topic {i*13}"
+                 for i in range(20)]
+        texts.append(texts[0])
+        from engine.dedup import simhash_near_duplicates
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(21), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        pairs = simhash_near_duplicates(ds, n_blocks=m).to_pandas()
+        got = set(map(tuple, pairs[["key_a", "key_b"]].values))
+        assert (0, 20) in got
+        assert pairs.set_index(["key_a", "key_b"])["hamming"] \
+            .loc[(0, 20)] == 0
+
+    def test_n_blocks_must_exceed_max_hamming(self, ray_session):
+        import ray.data
+        from engine.dedup import simhash_near_duplicates
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["x"], pa.string())}))
+        with pytest.raises(ValueError):
+            simhash_near_duplicates(ds, n_blocks=3)
+
+
 class TestEwmaNullKey:
     def test_ewma_null_key_rows_dropped_no_crash(self, ray_session):
         """NULL-key rows must be dropped (oracle: user_id IS NOT NULL),
