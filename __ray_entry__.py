@@ -1251,6 +1251,58 @@ def _q_rolling_user_sum(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_rolling_user_min_max(sf_dir: str):
+    """Per-user trailing 3-hour rolling value MIN and MAX — RANGE-frame
+    window parity (tie peers included; NULL values ignored; an all-NULL
+    frame reports NULL), computed by a sparse-table range reduce over
+    the shared frame bounds."""
+    from engine.relational import rolling_window_min_max
+    out = rolling_window_min_max(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            v = _round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 4)
+            return pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "rolling_min": _col("rolling_min"),
+                         "rolling_max": _col("rolling_max")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_window_ranks_events(sf_dir: str):
+    """Per-user ROW_NUMBER / RANK / DENSE_RANK of event values ascending
+    (NULLS LAST; row_number tie-broken by event_id) — window-rank
+    parity."""
+    from engine.relational import window_ranks
+    return window_ranks(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "value"])).sort("event_id")
+
+
+def _q_grouped_median_orders(sf_dir: str):
+    """Exact per-priority median order price — the grouped-quantile path
+    at q=0.5 (quantile_cont parity)."""
+    from engine.stats import grouped_quantiles
+    out = grouped_quantiles(
+        _read(sf_dir, "orders",
+              columns=["o_orderpriority", "o_totalprice"]),
+        group_col="o_orderpriority", value_col="o_totalprice", qs=[0.5])
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "q": b.column("q"),
+            "value": pa.array(_round_half_away(
+                b.column("value").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["o_orderpriority", "q"])
+
+
 def _q_user_event_sequences(sf_dir: str):
     """Each user's full ordered event-type history as one token string —
     ``string_agg(event_type, ',' ORDER BY ts, event_id)`` parity."""
@@ -1370,6 +1422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_or_purchase_users": _q_click_or_purchase_users,
         "user_event_sequences": _q_user_event_sequences,
         "rolling_user_sum": _q_rolling_user_sum,
+        "rolling_user_min_max": _q_rolling_user_min_max,
+        "window_ranks_events": _q_window_ranks_events,
+        "grouped_median_orders": _q_grouped_median_orders,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2363,6 +2418,35 @@ def oracle_sql() -> dict[str, str]:
                        rows unbounded preceding), 0), 4) as running_sum
             from events
             order by event_id
+        """,
+        "rolling_user_min_max": """
+            select event_id,
+                   round(min(value) over (
+                       partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row), 4) as rolling_min,
+                   round(max(value) over (
+                       partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row), 4) as rolling_max
+            from events where ts is not null order by event_id
+        """,
+        "window_ranks_events": """
+            select event_id,
+                   row_number() over (partition by user_id
+                       order by value asc nulls last, event_id)
+                       as row_number,
+                   rank() over (partition by user_id
+                       order by value asc nulls last) as rank,
+                   dense_rank() over (partition by user_id
+                       order by value asc nulls last) as dense_rank
+            from events order by event_id
+        """,
+        "grouped_median_orders": """
+            select o_orderpriority, cast(0.5 as double) as q,
+                   round(quantile_cont(o_totalprice, 0.5), 4) as value
+            from orders group by o_orderpriority
+            order by o_orderpriority, q
         """,
         "rolling_user_sum": """
             select event_id,

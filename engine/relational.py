@@ -380,12 +380,32 @@ def _rolling_frames(df, *, key_col, ts_col, val_col, id_col,
     spellings would even disagree with each other). Returns
     (sub, sums, cnts).
     """
+    sub, v, j, e = _rolling_bounds(df, key_col=key_col, ts_col=ts_col,
+                                   val_col=val_col, id_col=id_col,
+                                   window_seconds=window_seconds)
+    if not len(sub):
+        return sub, np.array([]), np.array([], dtype=np.int64)
+    ok = ~np.isnan(v)
+    cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+    cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+    return sub, cs[e] - cs[j], cw[e] - cw[j]
+
+
+def _rolling_bounds(df, *, key_col, ts_col, val_col, id_col,
+                    window_seconds):
+    """The frame-boundary half of :func:`_rolling_frames`: returns
+    ``(sub, v, j, e)`` where ``sub`` is the NULL-ts-dropped partition
+    sorted by (key, ts, id), ``v`` its float64 values, and row i's RANGE
+    frame is ``sub[j[i]:e[i]]`` (tie peers included). Shared by the
+    sum/count/mean kernels (prefix sums over the bounds) and the min/max
+    kernel (sparse-table range reduce over the bounds)."""
     import pandas as pd
     sub = df.dropna(subset=[ts_col]) \
         .sort_values([key_col, ts_col, id_col],
                      kind="mergesort").reset_index(drop=True)
     if not len(sub):
-        return sub, np.array([]), np.array([], dtype=np.int64)
+        return sub, np.array([]), np.array([], dtype=np.int64), \
+            np.array([], dtype=np.int64)
     ts = sub[ts_col].to_numpy()
     if np.issubdtype(ts.dtype, np.datetime64):
         t = ts.astype("datetime64[ns]").astype(np.int64) / 1e9
@@ -400,12 +420,9 @@ def _rolling_frames(df, *, key_col, ts_col, val_col, id_col,
     span = (t.max() - t.min()) + window_seconds + 1.0
     m = key_ord * span + (t - t.min())
     v = sub[val_col].to_numpy().astype(np.float64)
-    ok = ~np.isnan(v)
-    cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
-    cw = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
     j = np.searchsorted(m, m - window_seconds, side="left")
     e = np.searchsorted(m, m, side="right")
-    return sub, cs[e] - cs[j], cw[e] - cw[j]
+    return sub, v, j, e
 
 
 def rolling_window_mean(ds, *, key_col: str = "user_id",
@@ -1710,3 +1727,154 @@ def rolling_window_sum_count(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_roll, batch_format="pandas")
+
+
+def _range_reduce(v, j, e, op, fill):
+    """``op``-reduction of ``v`` over each half-open range ``[j[i],
+    e[i])`` via an O(n log n) sparse table — the classic RMQ trick: any
+    range is the overlap of two power-of-two blocks, so one table build
+    plus two gathers answers every frame, with no per-row Python loop.
+    NaNs must be pre-replaced with ``fill`` (the op's identity); empty
+    ranges report ``fill``.
+    """
+    n = len(v)
+    lens = e - j
+    out = np.full(len(j), fill, dtype=np.float64)
+    pos = lens > 0
+    if n == 0 or not pos.any():
+        return out
+    K = int(lens[pos].max()).bit_length() - 1  # floor(log2(maxlen))
+    st = [np.asarray(v, dtype=np.float64)]
+    for k in range(1, K + 1):
+        half = 1 << (k - 1)
+        prev = st[-1]
+        L = n - (1 << k) + 1
+        if L <= 0:
+            break
+        st.append(op(prev[:L], prev[half:half + L]))
+    ks = np.zeros(len(j), dtype=np.int64)
+    ks[pos] = np.int64(np.floor(np.log2(lens[pos])))
+    for k in np.unique(ks[pos]):
+        sel = pos & (ks == k)
+        size = 1 << int(k)
+        out[sel] = op(st[int(k)][j[sel]], st[int(k)][e[sel] - size])
+    return out
+
+
+def rolling_window_min_max(ds, *, key_col: str = "user_id",
+                           ts_col: str = "ts", val_col: str = "value",
+                           id_col: str = "event_id",
+                           window_seconds: float = 3 * 3600,
+                           batch_size: int = 65536):
+    """Per-key rolling MIN and MAX over a trailing time window —
+    ``min(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <w>
+    PRECEDING AND CURRENT ROW)`` / ``max(...)`` parity, including tie
+    peers and SQL NULL semantics (NULL values are ignored; an all-NULL
+    frame reports NULL for both). NULL-ts rows are dropped and NULL keys
+    group as ONE partition (see :func:`_rolling_frames`).
+
+    Shares the frame boundaries of :func:`_rolling_frames`
+    (:func:`_rolling_bounds`); the reduction itself is a sparse-table
+    range min/max (:func:`_range_reduce`) because prefix sums cannot
+    express min over overlapping frames — still one vectorized pass per
+    coarse key partition, O(n log n) in the partition size. Returns
+    (id, rolling_min, rolling_max).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _roll(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "rolling_min": [],
+                                 "rolling_max": []})
+        sub, v, j, e = _rolling_bounds(
+            df, key_col=key_col, ts_col=ts_col, val_col=val_col,
+            id_col=id_col, window_seconds=window_seconds)
+        if not len(sub):
+            return pd.DataFrame({id_col: [], "rolling_min": [],
+                                 "rolling_max": []})
+        lo = _range_reduce(np.where(np.isnan(v), np.inf, v), j, e,
+                           np.minimum, np.inf)
+        hi = _range_reduce(np.where(np.isnan(v), -np.inf, v), j, e,
+                           np.maximum, -np.inf)
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "rolling_min": np.where(np.isfinite(lo), lo, np.nan),
+            "rolling_max": np.where(np.isfinite(hi), hi, np.nan)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_roll, batch_format="pandas")
+
+
+def window_ranks(ds, *, key_col: str = "user_id",
+                 val_col: str = "value", id_col: str = "event_id",
+                 batch_size: int = 65536):
+    """Per-key ROW_NUMBER / RANK / DENSE_RANK of ``val_col`` ascending —
+    exactly ``row_number() OVER (PARTITION BY key ORDER BY val ASC NULLS
+    LAST, id)``, ``rank() / dense_rank() OVER (PARTITION BY key ORDER BY
+    val ASC NULLS LAST)``. NULL values sort last and are PEERS of each
+    other (they share a rank); NULL keys group as ONE partition, per SQL
+    PARTITION BY. ``id_col`` makes row_number deterministic under value
+    ties.
+
+    Scale shape: whole keys co-locate on P coarse hash partitions and
+    one vectorized pass ranks each partition — key breaks, value-run
+    breaks and the three ranks all come from cumsum/maximum.accumulate
+    over break flags; no per-key loop, and only (id, key, val) rows
+    shuffle, once. Returns (id, row_number, rank, dense_rank).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _rank(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                id_col: [],
+                "row_number": pd.array([], dtype="int64"),
+                "rank": pd.array([], dtype="int64"),
+                "dense_rank": pd.array([], dtype="int64")})
+        sub = df.sort_values([key_col, val_col, id_col], kind="mergesort",
+                             na_position="last").reset_index(drop=True)
+        n = len(sub)
+        idx = np.arange(n, dtype=np.int64)
+        keys = sub[key_col].to_numpy()
+        knull = pd.isna(keys)
+        with np.errstate(invalid="ignore"):
+            kneq = keys[1:] != keys[:-1]
+        new_key = np.r_[True, kneq & ~(knull[1:] & knull[:-1])]
+        vals = sub[val_col].to_numpy()
+        vnull = pd.isna(vals)
+        with np.errstate(invalid="ignore"):
+            vneq = vals[1:] != vals[:-1]
+        chg = new_key | np.r_[True, vneq & ~(vnull[1:] & vnull[:-1])]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+        d = np.cumsum(chg)
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "row_number": idx - key_start + 1,
+            "rank": run_start - key_start + 1,
+            "dense_rank": d - d[key_start] + 1})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_rank, batch_format="pandas")

@@ -1,0 +1,139 @@
+"""Round-5 operators: rolling MIN/MAX over RANGE frames and the
+window-rank family (ROW_NUMBER / RANK / DENSE_RANK), each pinned by a
+randomized differential test against DuckDB window functions — the same
+template as the round-4 lag/moments/corr tests."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _corpus(seed, n=3000, keys=50):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "user_id": rng.integers(0, keys, n),
+        "ts": pd.to_datetime("2020-01-01") + pd.to_timedelta(
+            rng.integers(0, 3600 * 24, n), unit="s"),
+        "value": rng.normal(size=n).round(3)})
+    # NULL values, NULL timestamps, and tie timestamps — every contract
+    df.loc[rng.choice(n, n // 12, replace=False), "value"] = np.nan
+    df.loc[rng.choice(n, n // 60, replace=False), "ts"] = pd.NaT
+    dup = rng.choice(n - 1, n // 15, replace=False)
+    df.loc[dup + 1, "ts"] = df.loc[dup, "ts"].values
+    return df
+
+
+class TestRangeReduce:
+    def test_matches_bruteforce(self):
+        from engine.relational import _range_reduce
+        rng = np.random.default_rng(5)
+        v = rng.normal(size=257)
+        j = rng.integers(0, 257, 400)
+        e = np.minimum(j + rng.integers(0, 80, 400), 257)
+        got = _range_reduce(v, j, e, np.minimum, np.inf)
+        exp = np.array([v[a:b].min() if b > a else np.inf
+                        for a, b in zip(j, e)])
+        assert np.allclose(got, exp)
+        got = _range_reduce(v, j, e, np.maximum, -np.inf)
+        exp = np.array([v[a:b].max() if b > a else -np.inf
+                        for a, b in zip(j, e)])
+        assert np.allclose(got, exp)
+
+    def test_empty_input(self):
+        from engine.relational import _range_reduce
+        z = np.array([], dtype=np.int64)
+        assert len(_range_reduce(np.array([]), z, z, np.minimum,
+                                 np.inf)) == 0
+
+
+class TestRollingMinMax:
+    @pytest.mark.parametrize("seed", [2, 19])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import rolling_window_min_max
+        df = _corpus(seed)
+        got = rolling_window_min_max(
+            ray.data.from_pandas(df), window_seconds=3 * 3600) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   min(value) over (partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row) as rolling_min,
+                   max(value) over (partition by user_id order by ts
+                       range between interval 3 hours preceding
+                             and current row) as rolling_max
+            from events where ts is not null order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        for c in ("rolling_min", "rolling_max"):
+            a = m[c + "_g"].to_numpy()
+            b = m[c + "_e"].to_numpy()
+            assert np.isclose(a, b, equal_nan=True).all()
+
+    def test_all_null_frame_reports_null(self, ray_session):
+        import ray.data
+        from engine.relational import rolling_window_min_max
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2020-01-01 00:00",
+                                           "2020-01-01 00:30"])),
+            "user_id": pa.array([3, 3], pa.int64()),
+            "value": pa.array([None, 5.0], pa.float64())}))
+        out = rolling_window_min_max(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert np.isnan(out["rolling_min"].iloc[0])
+        assert np.isnan(out["rolling_max"].iloc[0])
+        assert out["rolling_min"].iloc[1] == 5.0
+        assert out["rolling_max"].iloc[1] == 5.0
+
+
+class TestWindowRanks:
+    @pytest.mark.parametrize("seed", [7, 31])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import window_ranks
+        df = _corpus(seed).drop(columns=["ts"])
+        # value ties so rank != dense_rank != row_number is exercised
+        rng = np.random.default_rng(seed + 1)
+        df["value"] = rng.integers(0, 25, len(df)).astype(np.float64)
+        df.loc[rng.choice(len(df), len(df) // 10, replace=False),
+               "value"] = np.nan
+        got = window_ranks(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   row_number() over (partition by user_id
+                       order by value asc nulls last, event_id)
+                       as row_number,
+                   rank() over (partition by user_id
+                       order by value asc nulls last) as rank,
+                   dense_rank() over (partition by user_id
+                       order by value asc nulls last) as dense_rank
+            from events order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        for c in ("row_number", "rank", "dense_rank"):
+            assert (m[c + "_g"].to_numpy()
+                    == m[c + "_e"].to_numpy()).all()
+
+    def test_null_keys_form_one_partition(self, ray_session):
+        """SQL PARTITION BY groups NULL keys together."""
+        import ray.data
+        from engine.relational import window_ranks
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([None, None, 4], pa.int64()),
+            "value": pa.array([2.0, 1.0, 9.0], pa.float64())}))
+        out = window_ranks(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["row_number"].tolist() == [2, 1, 1]
+        assert out["rank"].tolist() == [2, 1, 1]
+        assert out["dense_rank"].tolist() == [2, 1, 1]
