@@ -1202,6 +1202,39 @@ def _q_click_and_purchase_users(sf_dir: str):
                               key_col="user_id").sort("user_id")
 
 
+def _q_click_xor_purchase_users(sf_dir: str):
+    """Distinct users with a high-value click or purchase but NOT both —
+    SQL ``(a EXCEPT b) UNION (b EXCEPT a)`` parity in one pass."""
+    from engine.relational import symmetric_difference_distinct
+    return symmetric_difference_distinct(
+        _hi_value_users(sf_dir, "click"),
+        _hi_value_users(sf_dir, "purchase"),
+        key_col="user_id").sort("user_id")
+
+
+def _q_session_value_sums(sf_dir: str):
+    """Gap-based sessions with per-session value SUM and non-NULL count
+    in the same vectorized pass as sessionization."""
+    from engine.relational import session_aggregate
+    out = session_aggregate(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("value_sum").to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "session_id": b.column("session_id"),
+            "n_events": b.column("n_events"),
+            "session_start": b.column("session_start"),
+            "session_end": b.column("session_end"),
+            "value_sum": pa.array([None if np.isnan(x) else float(x)
+                                   for x in v], pa.float64()),
+            "n_values": b.column("n_values")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["user_id", "session_id"])
+
+
 def _q_mode_event_type_per_user(sf_dir: str):
     """Each user's most frequent event type, ties to the
     lexicographically smallest — deterministic mode with max-count /
@@ -1416,6 +1449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "pivot_events_value": _q_pivot_events_value,
         "click_not_purchase_users": _q_click_not_purchase_users,
+        "click_xor_purchase_users": _q_click_xor_purchase_users,
+        "session_value_sums": _q_session_value_sums,
         "click_and_purchase_users": _q_click_and_purchase_users,
         "mode_event_type_per_user": _q_mode_event_type_per_user,
         "running_sum_user_value": _q_running_sum_user_value,
@@ -2385,6 +2420,42 @@ def oracle_sql() -> dict[str, str]:
               where event_type = 'purchase' and value > 95.0
                 and user_id is not null)
             order by user_id
+        """,
+        "click_xor_purchase_users": """
+            with c as (
+              select distinct user_id from events
+              where event_type = 'click' and value > 95.0
+                and user_id is not null),
+            p as (
+              select distinct user_id from events
+              where event_type = 'purchase' and value > 95.0
+                and user_id is not null)
+            select user_id from (
+              (select user_id from c except select user_id from p)
+              union
+              (select user_id from p except select user_id from c))
+            order by user_id
+        """,
+        "session_value_sums": """
+            with marked as (
+              select user_id, ts, value,
+                     case when ts - lag(ts) over w > interval 30 minutes
+                          or lag(ts) over w is null then 1 else 0
+                     end as new_s
+              from events
+              window w as (partition by user_id order by ts)
+            ), sess as (
+              select user_id, ts, value,
+                     sum(new_s) over (partition by user_id order by ts
+                                      rows unbounded preceding)::bigint
+                         as session_id
+              from marked)
+            select user_id, session_id, count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end,
+                   round(sum(value), 4) as value_sum,
+                   count(value) as n_values
+            from sess group by 1, 2
+            order by user_id, session_id
         """,
         "click_and_purchase_users": """
             select user_id from (

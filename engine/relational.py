@@ -288,6 +288,73 @@ def sessionize(events_ds, *, gap_minutes: int = 30, batch_size: int = 65536):
         _sessions_part, batch_format="pandas")
 
 
+def session_aggregate(events_ds, *, gap_minutes: int = 30,
+                      val_col: str = "value", batch_size: int = 65536):
+    """Gap-based sessions WITH per-session value aggregates — the
+    :func:`sessionize` kernel extended with boundary-difference prefix
+    sums over the value column, so each session also reports its value
+    SUM and non-NULL value count in the same single vectorized pass (no
+    second shuffle, no per-session loop).
+
+    SQL aggregate NULL semantics: NULL values contribute nothing; an
+    all-NULL session reports ``value_sum`` NULL and ``n_values`` 0.
+    Output: (user_id, session_id, n_events, session_start, session_end,
+    value_sum, n_values). Same partitioning contract as
+    :func:`sessionize` (whole users co-located, shuffle key = user hash).
+    """
+    import pandas as pd
+
+    from engine.shuffle import reduce_blocks
+    from engine.sketches import hash64
+
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    P = reduce_blocks()
+    out_cols = ["user_id", "session_id", "n_events", "session_start",
+                "session_end", "value_sum", "n_values"]
+
+    def _part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        part = (hash64(uid) % np.uint64(P)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def _sessions_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        if "user_id" not in df.columns or not len(df):
+            return pd.DataFrame({c: [] for c in out_cols})
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        v = df[val_col].to_numpy().astype(np.float64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap_break = np.r_[False, (ts[1:] - ts[:-1]) > gap]
+        new_session = new_user | gap_break
+        sid_global = np.cumsum(new_session)
+        user_first_sid = sid_global[np.flatnonzero(new_user)]
+        user_ord = np.cumsum(new_user) - 1
+        sid = sid_global - user_first_sid[user_ord] + 1
+        s_start = np.flatnonzero(new_session)
+        s_end = np.r_[s_start[1:], len(ts)]
+        ok = ~np.isnan(v)
+        cs = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+        cn = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        sums = cs[s_end] - cs[s_start]
+        cnts = cn[s_end] - cn[s_start]
+        return pd.DataFrame({
+            "user_id": uid[s_start],
+            "session_id": sid[s_start].astype("int64"),
+            "n_events": (s_end - s_start).astype("int64"),
+            # us precision to match SQL timestamps exactly
+            "session_start": ts[s_start].astype("datetime64[us]"),
+            "session_end": ts[s_end - 1].astype("datetime64[us]"),
+            "value_sum": np.where(cnts > 0, sums, np.nan),
+            "n_values": cnts,
+        })
+
+    return events_ds.select_columns(["user_id", "ts", val_col]) \
+        .map_batches(_part, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=batch_size).groupby("part").map_groups(
+        _sessions_part, batch_format="pandas")
+
+
 def top_event_types(events_ds, *, k: int = 5, batch_size: int = 65536):
     """Global top-k event types by count (partial counts -> tiny sort)."""
 
@@ -1358,6 +1425,8 @@ def _distinct_set_op(left, right, op: str, *, key_col: str,
             .groupby(key_col)["side"].agg(["min", "max"])
         if op == "except":
             keep = g.index[(g["min"] == 0) & (g["max"] == 0)]
+        elif op == "symdiff":  # exactly one side: all side tags equal
+            keep = g.index[g["min"] == g["max"]]
         else:  # intersect
             keep = g.index[(g["min"] == 0) & (g["max"] == 1)]
         return pd.DataFrame({key_col: keep.to_numpy()})
@@ -1393,6 +1462,19 @@ def union_distinct(left, right, *, key_col: str,
     """Distinct keys present in EITHER input — SQL ``UNION`` parity
     (NULL keys dropped; see :func:`_distinct_set_op` for the shape)."""
     return _distinct_set_op(left, right, "union", key_col=key_col,
+                            right_key_col=right_key_col,
+                            batch_size=batch_size)
+
+
+def symmetric_difference_distinct(left, right, *, key_col: str,
+                                  right_key_col: str = None,
+                                  batch_size: int = 65536):
+    """Distinct keys present in EXACTLY ONE input — SQL ``(a EXCEPT b)
+    UNION (b EXCEPT a)`` parity in a single pass (NULL keys dropped; see
+    :func:`_distinct_set_op` for the shape — the resolve keeps keys whose
+    side tags are all equal, so no second scan or union of two EXCEPT
+    pipelines is needed)."""
+    return _distinct_set_op(left, right, "symdiff", key_col=key_col,
                             right_key_col=right_key_col,
                             batch_size=batch_size)
 

@@ -137,3 +137,86 @@ class TestWindowRanks:
         assert out["row_number"].tolist() == [2, 1, 1]
         assert out["rank"].tolist() == [2, 1, 1]
         assert out["dense_rank"].tolist() == [2, 1, 1]
+
+
+class TestSessionAggregate:
+    @pytest.mark.parametrize("seed", [13])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import session_aggregate
+        rng = np.random.default_rng(seed)
+        n = 2500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime("2020-01-01") + pd.to_timedelta(
+                rng.integers(0, 3600 * 24, n), unit="s"),
+            "value": rng.normal(size=n).round(3)})
+        df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+        got = session_aggregate(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with marked as (
+              select user_id, ts, value,
+                     case when ts - lag(ts) over w > interval 30 minutes
+                          or lag(ts) over w is null then 1 else 0
+                     end as new_s
+              from events window w as (partition by user_id order by ts)
+            ), sess as (
+              select user_id, ts, value,
+                     sum(new_s) over (partition by user_id order by ts
+                         rows unbounded preceding)::bigint as session_id
+              from marked)
+            select user_id, session_id, count(*) as n_events,
+                   min(ts) as session_start, max(ts) as session_end,
+                   sum(value) as value_sum, count(value) as n_values
+            from sess group by 1, 2
+            order by user_id, session_id""").df()
+        assert len(got) == len(exp)
+        for c in ("user_id", "session_id", "n_events", "n_values"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        for c in ("session_start", "session_end"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        assert np.isclose(got["value_sum"].to_numpy(),
+                          exp["value_sum"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_all_null_session_sum_is_null(self, ray_session):
+        import ray.data
+        from engine.relational import session_aggregate
+        ds = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01 00:00", "2020-01-01 00:10",
+                 "2020-01-01 05:00"])),
+            "value": pa.array([None, None, 7.0], pa.float64())}))
+        out = session_aggregate(ds).to_pandas() \
+            .sort_values("session_id").reset_index(drop=True)
+        assert out["n_events"].tolist() == [2, 1]
+        assert np.isnan(out["value_sum"].iloc[0])
+        assert out["n_values"].tolist() == [0, 1]
+        assert out["value_sum"].iloc[1] == 7.0
+
+
+class TestSymmetricDifference:
+    def test_matches_sql_semantics(self, ray_session):
+        import ray.data
+        from engine.relational import symmetric_difference_distinct
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 2, 3, None], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([3, 4, 4, None], pa.int64())}))
+        out = symmetric_difference_distinct(left, right, key_col="k") \
+            .to_pandas()
+        assert sorted(out["k"]) == [1, 2, 4]   # 3 in both; NULLs dropped
+        assert str(out["k"].dtype) == "int64"  # no float drift
+
+    def test_empty_result(self, ray_session):
+        import ray.data
+        from engine.relational import symmetric_difference_distinct
+        same = pa.table({"k": pa.array([5, 6], pa.int64())})
+        out = symmetric_difference_distinct(
+            ray.data.from_arrow(same), ray.data.from_arrow(same),
+            key_col="k")
+        assert out.count() == 0
