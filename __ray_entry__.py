@@ -1316,6 +1316,27 @@ def _q_window_ranks_events(sf_dir: str):
               columns=["event_id", "user_id", "value"])).sort("event_id")
 
 
+def _q_window_rank_fractions_events(sf_dir: str):
+    """Per-user PERCENT_RANK / CUME_DIST / NTILE(4) of event values —
+    fraction-rank window parity (peer-based fractions; NTILE
+    deterministic via the event_id tiebreak)."""
+    from engine.relational import window_rank_fractions
+    out = window_rank_fractions(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "value"]), ntile_k=4)
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            return pa.array(_round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 6),
+                pa.float64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "pct_rank": _col("pct_rank"),
+                         "cume_dist": _col("cume_dist"),
+                         "bucket": b.column("bucket")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_grouped_median_orders(sf_dir: str):
     """Exact per-priority median order price — the grouped-quantile path
     at q=0.5 (quantile_cont parity)."""
@@ -1459,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_sum": _q_rolling_user_sum,
         "rolling_user_min_max": _q_rolling_user_min_max,
         "window_ranks_events": _q_window_ranks_events,
+        "window_rank_fractions_events": _q_window_rank_fractions_events,
         "grouped_median_orders": _q_grouped_median_orders,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
@@ -2511,6 +2533,16 @@ def oracle_sql() -> dict[str, str]:
                        order by value asc nulls last) as rank,
                    dense_rank() over (partition by user_id
                        order by value asc nulls last) as dense_rank
+            from events order by event_id
+        """,
+        "window_rank_fractions_events": """
+            select event_id,
+                   round(percent_rank() over (partition by user_id
+                       order by value asc nulls last), 6) as pct_rank,
+                   round(cume_dist() over (partition by user_id
+                       order by value asc nulls last), 6) as cume_dist,
+                   ntile(4) over (partition by user_id
+                       order by value asc nulls last, event_id) as bucket
             from events order by event_id
         """,
         "grouped_median_orders": """

@@ -1934,22 +1934,8 @@ def window_ranks(ds, *, key_col: str = "user_id",
                 "row_number": pd.array([], dtype="int64"),
                 "rank": pd.array([], dtype="int64"),
                 "dense_rank": pd.array([], dtype="int64")})
-        sub = df.sort_values([key_col, val_col, id_col], kind="mergesort",
-                             na_position="last").reset_index(drop=True)
-        n = len(sub)
-        idx = np.arange(n, dtype=np.int64)
-        keys = sub[key_col].to_numpy()
-        knull = pd.isna(keys)
-        with np.errstate(invalid="ignore"):
-            kneq = keys[1:] != keys[:-1]
-        new_key = np.r_[True, kneq & ~(knull[1:] & knull[:-1])]
-        vals = sub[val_col].to_numpy()
-        vnull = pd.isna(vals)
-        with np.errstate(invalid="ignore"):
-            vneq = vals[1:] != vals[:-1]
-        chg = new_key | np.r_[True, vneq & ~(vnull[1:] & vnull[:-1])]
-        key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
-        run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+        sub, idx, new_key, chg, key_start, run_start = _order_breaks(
+            df, key_col=key_col, val_col=val_col, id_col=id_col)
         d = np.cumsum(chg)
         return pd.DataFrame({
             id_col: sub[id_col].to_numpy(),
@@ -1960,3 +1946,98 @@ def window_ranks(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_rank, batch_format="pandas")
+
+
+def _order_breaks(df, *, key_col, val_col, id_col):
+    """Shared break-flag kernel for the window-rank family: sort a
+    partition by (key, val NULLS LAST, id) and return ``(sub, idx,
+    new_key, chg, key_start, run_start)`` — per-row key-break and
+    value-run-break flags plus each row's key/run start index, all from
+    cumsum / maximum.accumulate (no per-key loop). NULL keys group as
+    ONE partition and NULL values are PEERS of each other, both
+    NULL-aware the same way as :func:`_rolling_bounds`."""
+    import pandas as pd
+    sub = df.sort_values([key_col, val_col, id_col], kind="mergesort",
+                         na_position="last").reset_index(drop=True)
+    n = len(sub)
+    idx = np.arange(n, dtype=np.int64)
+    keys = sub[key_col].to_numpy()
+    knull = pd.isna(keys)
+    with np.errstate(invalid="ignore"):
+        kneq = keys[1:] != keys[:-1]
+    new_key = np.r_[True, kneq & ~(knull[1:] & knull[:-1])]
+    vals = sub[val_col].to_numpy()
+    vnull = pd.isna(vals)
+    with np.errstate(invalid="ignore"):
+        vneq = vals[1:] != vals[:-1]
+    chg = new_key | np.r_[True, vneq & ~(vnull[1:] & vnull[:-1])]
+    key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+    run_start = np.maximum.accumulate(np.where(chg, idx, 0))
+    return sub, idx, new_key, chg, key_start, run_start
+
+
+def window_rank_fractions(ds, *, key_col: str = "user_id",
+                          val_col: str = "value",
+                          id_col: str = "event_id", ntile_k: int = 4,
+                          batch_size: int = 65536):
+    """Per-key PERCENT_RANK / CUME_DIST / NTILE of ``val_col`` ascending
+    — exactly ``percent_rank() / cume_dist() OVER (PARTITION BY key
+    ORDER BY val ASC NULLS LAST)`` and ``ntile(k) OVER (... , id)``
+    (NTILE is row-positional, so ``id_col`` makes it deterministic under
+    value ties; the two fractions are peer-based). SQL semantics
+    throughout: percent_rank = (rank-1)/(n-1) (0.0 for single-row
+    partitions), cume_dist = peers-through-current / n, NTILE gives the
+    first ``n % k`` buckets the extra row. NULL values sort last as
+    peers; NULL keys group as ONE partition.
+
+    Same scale shape as :func:`window_ranks` (shared
+    :func:`_order_breaks` pass per coarse key partition). Returns
+    (id, pct_rank, cume_dist, bucket).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(df[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _fracs(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                id_col: [], "pct_rank": [], "cume_dist": [],
+                "bucket": pd.array([], dtype="int64")})
+        sub, idx, new_key, chg, key_start, run_start = _order_breaks(
+            df, key_col=key_col, val_col=val_col, id_col=id_col)
+        n = len(sub)
+        key_ord = np.cumsum(new_key) - 1
+        sizes = np.diff(np.r_[idx[new_key], n])
+        key_n = sizes[key_ord]
+        run_ord = np.cumsum(chg) - 1
+        run_pos = idx[chg]
+        run_end = (run_pos + np.diff(np.r_[run_pos, n]))[run_ord]
+        rank = run_start - key_start + 1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.where(key_n > 1, (rank - 1) / (key_n - 1), 0.0)
+        cume = (run_end - key_start) / key_n
+        rn0 = idx - key_start  # 0-based row number within key
+        size, rem = key_n // ntile_k, key_n % ntile_k
+        fat = rem * (size + 1)  # rows covered by the size+1 buckets
+        bucket = np.where(
+            rn0 < fat,
+            rn0 // np.maximum(size + 1, 1),
+            rem + np.where(size > 0, (rn0 - fat) // np.maximum(size, 1),
+                           0)) + 1
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "pct_rank": pct,
+            "cume_dist": cume,
+            "bucket": bucket.astype(np.int64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_fracs, batch_format="pandas")

@@ -220,3 +220,51 @@ class TestSymmetricDifference:
             ray.data.from_arrow(same), ray.data.from_arrow(same),
             key_col="k")
         assert out.count() == 0
+
+
+class TestWindowRankFractions:
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import window_rank_fractions
+        rng = np.random.default_rng(seed)
+        n = 2500
+        df = pd.DataFrame({
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "user_id": rng.integers(0, 47, n),
+            "value": rng.integers(0, 20, n).astype(np.float64)})
+        df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+        got = window_rank_fractions(
+            ray.data.from_pandas(df), ntile_k=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   percent_rank() over (partition by user_id
+                       order by value asc nulls last) as pct_rank,
+                   cume_dist() over (partition by user_id
+                       order by value asc nulls last) as cume_dist,
+                   ntile(4) over (partition by user_id
+                       order by value asc nulls last, event_id) as bucket
+            from events order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == n
+        assert np.isclose(m["pct_rank_g"], m["pct_rank_e"]).all()
+        assert np.isclose(m["cume_dist_g"], m["cume_dist_e"]).all()
+        assert (m["bucket_g"].to_numpy() == m["bucket_e"].to_numpy()).all()
+
+    def test_tiny_partitions(self, ray_session):
+        """single-row partition: percent_rank 0; k > n: one row per
+        bucket (SQL NTILE)."""
+        import ray.data
+        from engine.relational import window_rank_fractions
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 8, 8], pa.int64()),
+            "value": pa.array([5.0, 2.0, 1.0], pa.float64())}))
+        out = window_rank_fractions(ds, ntile_k=4).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["pct_rank"].tolist() == [0.0, 1.0, 0.0]
+        assert out["cume_dist"].tolist() == [1.0, 1.0, 0.5]
+        assert out["bucket"].tolist() == [1, 2, 1]
