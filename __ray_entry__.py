@@ -1316,6 +1316,40 @@ def _q_window_ranks_events(sf_dir: str):
               columns=["event_id", "user_id", "value"])).sort("event_id")
 
 
+def _q_quantile_buckets_events(sf_dir: str):
+    """Equal-frequency quartile bucket per event value — exact
+    quantile_cont fences from the distributed selection, then a map-only
+    searchsorted assign (``1 + (v > q1) + (v > q2) + (v > q3)``
+    parity)."""
+    from engine.stats import quantile_buckets
+    out = quantile_buckets(
+        _read(sf_dir, "events", columns=["event_id", "value"]), "value")
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "bucket": b.column("bucket")})
+    return out.map_batches(_proj, batch_format="pyarrow").sort("event_id")
+
+
+def _q_robust_zscore_events(sf_dir: str):
+    """Median/MAD robust z-score per event value — two exact selection
+    passes (median, then median absolute deviation) and a map-only
+    score."""
+    from engine.stats import robust_zscore
+    out = robust_zscore(
+        _read(sf_dir, "events", columns=["event_id", "value"]),
+        "value", id_col="event_id")
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("rz").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "rz": pa.array([None if np.isnan(x) else float(x)
+                            for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def _q_window_rank_fractions_events(sf_dir: str):
     """Per-user PERCENT_RANK / CUME_DIST / NTILE(4) of event values —
     fraction-rank window parity (peer-based fractions; NTILE
@@ -1481,6 +1515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_min_max": _q_rolling_user_min_max,
         "window_ranks_events": _q_window_ranks_events,
         "window_rank_fractions_events": _q_window_rank_fractions_events,
+        "quantile_buckets_events": _q_quantile_buckets_events,
+        "robust_zscore_events": _q_robust_zscore_events,
         "grouped_median_orders": _q_grouped_median_orders,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
@@ -2534,6 +2570,30 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() over (partition by user_id
                        order by value asc nulls last) as dense_rank
             from events order by event_id
+        """,
+        "quantile_buckets_events": """
+            with f as (
+              select quantile_cont(value, 0.25) as q1,
+                     quantile_cont(value, 0.5) as q2,
+                     quantile_cont(value, 0.75) as q3
+              from events where value is not null)
+            select event_id,
+                   cast(1 + cast(value > q1 as int)
+                          + cast(value > q2 as int)
+                          + cast(value > q3 as int) as bigint) as bucket
+            from events, f where value is not null
+            order by event_id
+        """,
+        "robust_zscore_events": """
+            with m as (
+              select quantile_cont(value, 0.5) as med
+              from events where value is not null),
+            d as (
+              select quantile_cont(abs(value - med), 0.5) as mad
+              from events, m where value is not null)
+            select event_id, round((value - med) / mad, 6) as rz
+            from events, m, d where value is not null
+            order by event_id
         """,
         "window_rank_fractions_events": """
             select event_id,

@@ -397,6 +397,76 @@ def winsorize(ds, col: str, *, lower_q: float = 0.05,
                           zero_copy_batch=True, batch_size=batch_size)
 
 
+def quantile_buckets(ds, col: str, *, qs: Sequence[float] = (0.25, 0.5,
+                                                             0.75),
+                     batch_size=None):
+    """Equal-frequency discretization: assign each row the 1-based bucket
+    ``1 + count(fences < value)`` where the fences are the EXACT
+    ``quantile_cont`` values of ``qs`` (:func:`exact_quantiles`) — the
+    standard quantile-binning step before bucketed features or stratified
+    downstream joins, SQL-reproducible as ``1 + (v > q1)::int + ...``.
+
+    The fence pass is the shuffle-free distributed selection; the assign
+    pass is map-only (one ``np.searchsorted`` per block against the tiny
+    broadcast fence array). NULL values are dropped (``WHERE col IS NOT
+    NULL``). Returns the input rows plus an int64 ``bucket`` column.
+    """
+    fences = exact_quantiles(ds, col, list(qs), batch_size=batch_size)
+    cuts = np.array([fences[float(q)] for q in sorted(qs)],
+                    dtype=np.float64)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(col)))
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        bucket = 1 + np.searchsorted(cuts, v, side="left")
+        return b.append_column("bucket",
+                               pa.array(bucket.astype(np.int64)))
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def robust_zscore(ds, col: str, *, id_col: str, batch_size=None):
+    """Median/MAD robust z-score: ``(v - median) / mad`` with ``mad =
+    median(|v - median|)`` — the outlier score that, unlike the mean/std
+    z-score, is not itself dragged by the outliers it is meant to flag.
+
+    Two exact distributed selection passes (:func:`exact_quantiles` — the
+    second over a map-only ``|v - med|`` projection), then a map-only
+    scoring pass; nothing shuffles. NULL values are dropped (``WHERE col
+    IS NOT NULL``); a zero MAD (>= half the mass at the median) yields
+    NULL scores, matching SQL NULL-on-division-by-zero. Returns
+    (id, rz). No consistency constant is applied — multiply by 1/1.4826
+    outside if a normal-equivalent sigma is wanted.
+    """
+    med = exact_quantiles(ds, col, [0.5], batch_size=batch_size)[0.5]
+
+    def _absdev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(col)))
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"absdev": pa.array(np.abs(v - med),
+                                            pa.float64())})
+
+    dev = ds.map_batches(_absdev, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=batch_size)
+    mad = exact_quantiles(dev, "absdev", [0.5], batch_size=batch_size)[0.5]
+
+    def _score(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(col)))
+        v = pc.cast(b.column(col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        if mad == 0.0:
+            rz = pa.array([None] * len(v), pa.float64())
+        else:
+            rz = pa.array((v - med) / mad, pa.float64())
+        return pa.table({id_col: b.column(id_col), "rz": rz})
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
 def grouped_moments(ds, *, group_col: str, value_col: str,
                     batch_size=None):
     """Per-group count / mean / sample-stddev / min / max in ONE corpus

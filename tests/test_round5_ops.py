@@ -268,3 +268,73 @@ class TestWindowRankFractions:
         assert out["pct_rank"].tolist() == [0.0, 1.0, 0.0]
         assert out["cume_dist"].tolist() == [1.0, 1.0, 0.5]
         assert out["bucket"].tolist() == [1, 2, 1]
+
+
+class TestQuantileBuckets:
+    def test_differential_vs_duckdb(self, ray_session):
+        import ray.data
+        from engine.stats import quantile_buckets
+        rng = np.random.default_rng(21)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "value": rng.normal(size=n).round(3)})
+        df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+        got = quantile_buckets(ray.data.from_pandas(df), "value") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with f as (select quantile_cont(value, 0.25) q1,
+                              quantile_cont(value, 0.5) q2,
+                              quantile_cont(value, 0.75) q3
+                       from events where value is not null)
+            select event_id,
+                   1 + cast(value > q1 as int) + cast(value > q2 as int)
+                     + cast(value > q3 as int) as bucket
+            from events, f where value is not null
+            order by event_id""").df()
+        assert len(got) == len(exp)
+        assert (got["bucket"].to_numpy()
+                == exp["bucket"].to_numpy().astype(np.int64)).all()
+        # equal-frequency: each quartile holds ~25% of the rows
+        counts = got["bucket"].value_counts()
+        assert set(counts.index) == {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= len(got) * 0.02 + 2
+
+
+class TestRobustZscore:
+    def test_differential_vs_duckdb(self, ray_session):
+        import ray.data
+        from engine.stats import robust_zscore
+        rng = np.random.default_rng(29)
+        n = 1500
+        df = pd.DataFrame({
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "value": rng.normal(size=n).round(3)})
+        df.loc[rng.choice(n, n // 12, replace=False), "value"] = np.nan
+        got = robust_zscore(ray.data.from_pandas(df), "value",
+                            id_col="event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with m as (select quantile_cont(value, 0.5) med
+                       from events where value is not null),
+            d as (select quantile_cont(abs(value - med), 0.5) mad
+                  from events, m where value is not null)
+            select event_id, (value - med) / mad as rz
+            from events, m, d where value is not null
+            order by event_id""").df()
+        assert len(got) == len(exp)
+        assert np.isclose(got["rz"].to_numpy(),
+                          exp["rz"].to_numpy()).all()
+
+    def test_zero_mad_reports_null(self, ray_session):
+        import ray.data
+        from engine.stats import robust_zscore
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "value": pa.array([5.0, 5.0, 5.0, 9.0], pa.float64())}))
+        out = robust_zscore(ds, "value", id_col="event_id").to_pandas()
+        assert out["rz"].isna().all()
