@@ -1316,6 +1316,25 @@ def _q_window_ranks_events(sf_dir: str):
               columns=["event_id", "user_id", "value"])).sort("event_id")
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding vector (long format: label, dim, value)
+    — one-pass scatter-add combiner, elementwise-avg parity."""
+    from engine.similarity import grouped_centroids
+    out = grouped_centroids(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]),
+        group_col="label", vec_col="embedding", dim=64)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"),
+            "dim": b.column("dim"),
+            "value": pa.array(_round_half_away(
+                b.column("value").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["label", "dim"])
+
+
 def _q_quantile_buckets_events(sf_dir: str):
     """Equal-frequency quartile bucket per event value — exact
     quantile_cont fences from the distributed selection, then a map-only
@@ -1516,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_ranks_events": _q_window_ranks_events,
         "window_rank_fractions_events": _q_window_rank_fractions_events,
         "quantile_buckets_events": _q_quantile_buckets_events,
+        "label_centroids": _q_label_centroids,
         "robust_zscore_events": _q_robust_zscore_events,
         "grouped_median_orders": _q_grouped_median_orders,
         "semi_join_events_purchases": _q_semi_join_events,
@@ -2570,6 +2590,15 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() over (partition by user_id
                        order by value asc nulls last) as dense_rank
             from events order by event_id
+        """,
+        "label_centroids": """
+            select cast(label as bigint) as label,
+                   i as dim,
+                   round(avg(embedding[i + 1]), 6) as value
+            from embeddings, range(64) t(i)
+            where label is not null and len(embedding) = 64
+            group by label, i
+            order by label, dim
         """,
         "quantile_buckets_events": """
             with f as (

@@ -338,3 +338,47 @@ class TestRobustZscore:
             "value": pa.array([5.0, 5.0, 5.0, 9.0], pa.float64())}))
         out = robust_zscore(ds, "value", id_col="event_id").to_pandas()
         assert out["rz"].isna().all()
+
+
+class TestGroupedCentroids:
+    def test_matches_numpy_and_drops_bad_rows(self, ray_session):
+        import ray.data
+        from engine.similarity import grouped_centroids
+        rng = np.random.default_rng(17)
+        vecs = rng.standard_normal((120, 8)).astype(np.float32)
+        labels = rng.integers(0, 3, 120)
+        tbl = pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32()))})
+        # a NULL-label row and a wrong-length row must be dropped
+        extra = pa.table({
+            "label": pa.array([None, 9], pa.int64()),
+            "embedding": pa.array([[1.0] * 8, [1.0] * 3],
+                                  pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(pa.concat_tables([tbl, extra]))
+        got = grouped_centroids(ds, group_col="label",
+                                vec_col="embedding", dim=8).to_pandas() \
+            .sort_values(["label", "dim"]).reset_index(drop=True)
+        assert sorted(got["label"].unique()) == [0, 1, 2]
+        for lab in (0, 1, 2):
+            exp = vecs[labels == lab].astype(np.float64).mean(axis=0)
+            sub = got[got["label"] == lab].sort_values("dim")
+            assert np.allclose(sub["value"].to_numpy(), exp)
+
+    def test_cross_batch_merge(self, ray_session):
+        """Partial sums from different batches must merge — a per-batch
+        mean-of-means would be wrong for unbalanced groups."""
+        import ray.data
+        from engine.similarity import grouped_centroids
+        t1 = pa.table({"label": pa.array([1], pa.int64()),
+                       "embedding": pa.array([[0.0, 0.0]],
+                                             pa.list_(pa.float32()))})
+        t2 = pa.table({"label": pa.array([1, 1, 1], pa.int64()),
+                       "embedding": pa.array([[4.0, 8.0]] * 3,
+                                             pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+        got = grouped_centroids(ds, group_col="label",
+                                vec_col="embedding", dim=2).to_pandas() \
+            .sort_values("dim")
+        assert got["value"].tolist() == [3.0, 6.0]  # (0+4*3)/4, (0+8*3)/4
