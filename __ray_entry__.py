@@ -1316,6 +1316,25 @@ def _q_window_ranks_events(sf_dir: str):
               columns=["event_id", "user_id", "value"])).sort("event_id")
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 TF-IDF terms per document (tf * ln(N/df), whitespace
+    tokens, ties to the lexicographically smallest token)."""
+    from engine.textstats import tfidf_topk
+    out = tfidf_topk(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]), k=5)
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "token": b.column("token"),
+            "tf": b.column("tf"),
+            "score": pa.array(_round_half_away(
+                b.column("score").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["doc_id", "token"])
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label mean embedding vector (long format: label, dim, value)
     — one-pass scatter-add combiner, elementwise-avg parity."""
@@ -1536,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank_fractions_events": _q_window_rank_fractions_events,
         "quantile_buckets_events": _q_quantile_buckets_events,
         "label_centroids": _q_label_centroids,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "robust_zscore_events": _q_robust_zscore_events,
         "grouped_median_orders": _q_grouped_median_orders,
         "semi_join_events_purchases": _q_semi_join_events,
@@ -2590,6 +2610,28 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() over (partition by user_id
                        order by value asc nulls last) as dense_rank
             from events order by event_id
+        """,
+        "tfidf_top_terms": r"""
+            with tok as (
+              select doc_id, token, count(*)::bigint as tf
+              from (select doc_id,
+                           unnest(string_split_regex(coalesce(text, ''),
+                                                     '\s+')) as token
+                    from documents)
+              where token <> '' group by doc_id, token),
+            d as (select token, count(*)::bigint as df
+                  from tok group by token),
+            n as (select count(*)::double as n from documents),
+            scored as (
+              select t.doc_id, t.token, t.tf,
+                     t.tf * ln(n.n / d.df) as score,
+                     row_number() over (partition by t.doc_id
+                         order by t.tf * ln(n.n / d.df) desc,
+                                  t.token) as rn
+              from tok t join d using(token), n)
+            select doc_id, token, tf, round(score, 6) as score
+            from scored where rn <= 5
+            order by doc_id, token
         """,
         "label_centroids": """
             select cast(label as bigint) as label,

@@ -573,3 +573,129 @@ def pack_sequences(ds, *, text_col: str = "text", key_col: str = "doc_id",
     return ds.map_batches(_counts, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size) \
         .groupby("part").map_groups(_pack, batch_format="pandas")
+
+
+def tfidf_topk(ds, *, text_col: str = "text", key_col: str = "doc_id",
+               k: int = 5, broadcast_limit: int = 5_000_000,
+               batch_size: int = 8192, concurrency=None):
+    """Top-``k`` TF-IDF terms per document: ``score = tf * ln(N / df)``
+    with tf the in-document token count, df from
+    :func:`token_doc_frequency` (same whitespace tokenization, empties
+    dropped) and N the TOTAL document count. Ties break by token
+    ascending (``row_number()`` parity), so the row set is
+    deterministic. Returns (doc, token, tf, score).
+
+    Scale shape: the per-doc half needs NO shuffle at all — a document's
+    tokens live in its own row, so tf and the top-k both resolve inside
+    ``map_batches``. The corpus-wide half is the df table: when the
+    vocabulary is small (<= ``broadcast_limit``) it broadcasts ONCE via
+    ``ray.put`` (sorted token array + counts, one searchsorted per batch
+    dictionary); above the gate the (doc, token, tf) combiner rows — NOT
+    the raw token stream — flow through a distributed hash join on token
+    and a coarse-partition per-doc top-k, the same fall-through shape as
+    the semi-join family.
+    """
+    import math
+
+    import pandas as pd
+    import ray
+
+    from engine.kernels import _flatten, _valid_mask
+    from engine.shuffle import join_partitions, reduce_blocks
+    from engine.sketches import hash64
+
+    n_docs = float(ds.count())
+    df_tab = token_doc_frequency(ds, text_col=text_col,
+                                 batch_size=batch_size,
+                                 concurrency=concurrency).materialize()
+    vocab_n = df_tab.count()
+
+    def _doc_tf(batch: pa.Table) -> "pd.DataFrame":
+        """Distinct (doc, token, tf) rows of one batch — the combiner."""
+        toks = pc.split_pattern_regex(batch.column(text_col),
+                                      pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        active = _valid_mask(toks)
+        flat, parent, _ = _flatten(toks, active)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        pairs, tf = np.unique(np.stack([parent, codes]), axis=1,
+                              return_counts=True)
+        dictionary = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        tok = dictionary[pairs[1]]
+        keep = np.array([bool(t) for t in tok])  # drop empty tokens
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({key_col: keys[pairs[0][keep]],
+                             "token": tok[keep],
+                             "tf": tf[keep].astype(np.int64)})
+
+    def _topk_frame(df):
+        """Deterministic per-doc top-k of a (doc, token, tf, score)
+        frame sorted wholly in one pass (score desc, token asc)."""
+        sub = df.sort_values([key_col, "score", "token"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+        return sub.groupby(key_col, sort=False).head(k)
+
+    if vocab_n <= broadcast_limit:
+        dfp = df_tab.to_pandas().sort_values("token")
+        ref = ray.put((dfp["token"].to_numpy(),
+                       dfp["df"].to_numpy().astype(np.float64)))
+
+        class _Score:
+            def __init__(self):
+                self._m = None
+
+            def __call__(self, batch: pa.Table) -> "pd.DataFrame":
+                if self._m is None:
+                    self._m = ray.get(ref)
+                toks, dfs = self._m
+                t = _doc_tf(batch)
+                if not len(t):
+                    return pd.DataFrame({key_col: [], "token": [],
+                                         "tf": pd.array([],
+                                                        dtype="int64"),
+                                         "score": []})
+                pos = np.searchsorted(toks, t["token"].to_numpy())
+                d = dfs[np.minimum(pos, len(dfs) - 1)]
+                t["score"] = t["tf"].to_numpy() * np.log(n_docs / d)
+                return _topk_frame(t)
+
+        return ds.map_batches(_Score, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency or 4)
+
+    # distributed fall-through: combiner rows join df on token, then a
+    # coarse-partition per-doc top-k (in-batch partial first)
+    tf_rows = ds.map_batches(
+        lambda b: _doc_tf(b), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size,
+        concurrency=concurrency)
+    joined = tf_rows.join(df_tab, join_type="inner",
+                          num_partitions=join_partitions(), on=("token",))
+    P = reduce_blocks()
+
+    def _score_part(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "token": [],
+                                 "tf": pd.array([], dtype="int64"),
+                                 "score": [], "part": pd.array(
+                                     [], dtype="int64")})
+        out = df[[key_col, "token", "tf"]].copy()
+        out["score"] = df["tf"].to_numpy() \
+            * np.log(n_docs / df["df"].to_numpy().astype(np.float64))
+        out = _topk_frame(out)  # in-batch partial top-k bounds the rows
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _final(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "token": [],
+                                 "tf": pd.array([], dtype="int64"),
+                                 "score": []})
+        return _topk_frame(df[[key_col, "token", "tf", "score"]])
+
+    return joined.map_batches(_score_part, batch_format="pandas") \
+        .groupby("part").map_groups(_final, batch_format="pandas")

@@ -382,3 +382,56 @@ class TestGroupedCentroids:
                                 vec_col="embedding", dim=2).to_pandas() \
             .sort_values("dim")
         assert got["value"].tolist() == [3.0, 6.0]  # (0+4*3)/4, (0+8*3)/4
+
+
+class TestTfidfTopk:
+    _SQL = r"""
+        with tok as (
+          select doc_id, token, count(*)::bigint as tf
+          from (select doc_id,
+                       unnest(string_split_regex(coalesce(text, ''),
+                                                 '\s+')) as token
+                from documents)
+          where token <> '' group by doc_id, token),
+        d as (select token, count(*)::bigint as df from tok
+              group by token),
+        n as (select count(*)::double as n from documents),
+        scored as (
+          select t.doc_id, t.token, t.tf,
+                 t.tf * ln(n.n / d.df) as score,
+                 row_number() over (partition by t.doc_id
+                     order by t.tf * ln(n.n / d.df) desc, t.token) as rn
+          from tok t join d using(token), n)
+        select doc_id, token, tf, score from scored where rn <= 3
+        order by doc_id, token"""
+
+    def _docs(self):
+        rng = np.random.default_rng(41)
+        vocab = [f"w{i}" for i in range(60)]
+        texts = [" ".join(rng.choice(vocab,
+                                     rng.integers(3, 30)).tolist())
+                 for _ in range(80)]
+        texts.append("")          # empty doc: contributes to N only
+        texts.append(None)        # NULL doc
+        return pd.DataFrame({
+            "doc_id": np.arange(1, 83, dtype=np.int64),
+            "text": pd.array(texts, dtype="object")})
+
+    @pytest.mark.parametrize("limit", [5_000_000, 1])
+    def test_differential_both_routes(self, limit, ray_session):
+        """broadcast df (limit high) and the distributed token-join
+        fall-through (limit 1) must both match the SQL row set."""
+        import ray.data
+        from engine.textstats import tfidf_topk
+        df = self._docs()
+        got = tfidf_topk(ray.data.from_pandas(df), k=3,
+                         broadcast_limit=limit).to_pandas() \
+            .sort_values(["doc_id", "token"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(self._SQL).df()
+        assert len(got) == len(exp)
+        m = got.merge(exp, on=["doc_id", "token"], suffixes=("_g", "_e"))
+        assert len(m) == len(exp)          # identical row sets
+        assert (m["tf_g"].to_numpy() == m["tf_e"].to_numpy()).all()
+        assert np.isclose(m["score_g"], m["score_e"]).all()
