@@ -1282,12 +1282,23 @@ def keep_latest(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     NULL contract: a NULL ``ts`` sorts as the LEAST recent (SQL ``ORDER
     BY ts DESC`` with DuckDB's default NULLS-LAST), so a NULL-ts row wins
     only when every row of its key has a NULL ts. All input columns pass
-    through unchanged.
+    through unchanged — including their DTYPES: the pandas kernel
+    degrades an int64-with-NULL column to float64 in NULL-containing
+    blocks only, so without the final cast-back stage the output schema
+    would drift BETWEEN blocks of one run (hashing was already
+    drift-proof via hash64's per-element canonicalization; this pins the
+    declared schema too). Blocks whose plan metadata is unavailable skip
+    the cast, same as before.
     """
     import pandas as pd
     from engine.sketches import hash64
     from engine.shuffle import reduce_blocks
     P = reduce_blocks()
+    try:
+        _s = ds.schema(fetch_if_missing=False)
+        in_schema = _s.base_schema if _s is not None else None
+    except Exception:
+        in_schema = None
 
     def _latest(df):
         if key_col not in df.columns or not len(df):
@@ -1308,9 +1319,31 @@ def keep_latest(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     def _final(df):
         return _latest(df).drop(columns=["part"], errors="ignore")
 
-    return ds.map_batches(_part, batch_format="pandas",
-                          batch_size=batch_size) \
+    res = ds.map_batches(_part, batch_format="pandas",
+                         batch_size=batch_size) \
         .groupby("part").map_groups(_final, batch_format="pandas")
+    if in_schema is None:
+        return res
+
+    def _cast_back(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        cols = {}
+        for name in b.column_names:
+            col = b.column(name)
+            if name in in_schema.names:
+                typ = in_schema.field(name).type
+                if col.type != typ:
+                    if pa.types.is_floating(col.type) \
+                            and not pa.types.is_floating(typ):
+                        # pandas spells the degraded column's NULLs NaN
+                        col = pc2.if_else(
+                            pc2.is_nan(col),
+                            pa.scalar(None, col.type), col)
+                    col = pc2.cast(col, typ)
+            cols[name] = col
+        return pa.table(cols)
+
+    return res.map_batches(_cast_back, batch_format="pyarrow")
 
 
 def pivot_agg(ds, *, group_col: str, pivot_col: str, value_col: str,

@@ -191,3 +191,26 @@ class TestAllFilteredTypedEmpty:
         sch = self._schema_of(out)
         assert sch["g"] == pa.int64()
         assert sch["n_distinct"] == pa.int64()
+
+
+class TestKeepLatestDtypeStability:
+    def test_nullable_int_key_keeps_declared_dtype(self, ray_session):
+        """A NULL-containing block degrades int64->float64 inside the
+        pandas kernel; the output must cast back to the declared input
+        schema (no between-block drift)."""
+        import ray.data
+        from engine.relational import keep_latest
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2020-01-01", "2020-01-02", "2020-01-03",
+                 "2020-01-04"])),
+            "user_id": pa.array([7, None, 7, 9], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())}))
+        out = keep_latest(ds)
+        sch = {f.name: f.type for f in out.schema().base_schema}
+        assert sch["user_id"] == pa.int64()
+        assert sch["event_id"] == pa.int64()
+        t = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+        # winners: NULL key -> id 2; key 7 -> id 3 (latest ts); key 9 -> 4
+        assert t["event_id"].tolist() == [2, 3, 4]
