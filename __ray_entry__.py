@@ -1469,6 +1469,69 @@ def _q_anti_join_events(sf_dir: str):
                      key_col="user_id").sort("event_id")
 
 
+def _q_running_min_max_user_value(sf_dir: str):
+    """Per-user cumulative event-value MIN and MAX in (ts, event_id)
+    order — ``min/max(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)`` parity (NULL values carry the
+    running extremes; NULL before a user's first non-NULL value)."""
+    from engine.relational import running_min_max
+    out = running_min_max(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            v = _round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 4)
+            return pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())
+        return pa.table({"event_id": b.column("event_id"),
+                         "running_min": _col("running_min"),
+                         "running_max": _col("running_max")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_user_gap_stats(sf_dir: str):
+    """Per-user inter-event gap stats (count / mean / max seconds) over
+    ``ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)``;
+    single-event users report (0, NULL, NULL); NULL-ts rows dropped."""
+    from engine.relational import interevent_gap_stats
+    out = interevent_gap_stats(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            v = _round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 4)
+            return pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_gaps": b.column("n_gaps"),
+                         "avg_gap_s": _col("avg_gap_s"),
+                         "max_gap_s": _col("max_gap_s")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
+def _q_delta_from_first_user_value(sf_dir: str):
+    """Per-event delta from the user's first event value — ``value -
+    FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` parity (positional first, RESPECT NULLS)."""
+    from engine.relational import delta_from_first
+    out = delta_from_first(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("delta_from_first").to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "delta_from_first": pa.array(
+                [None if np.isnan(x) else float(x) for x in v],
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1551,6 +1614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_user_event_sequences,
         "rolling_user_sum": _q_rolling_user_sum,
         "rolling_user_min_max": _q_rolling_user_min_max,
+        "running_min_max_user_value": _q_running_min_max_user_value,
+        "user_gap_stats": _q_user_gap_stats,
+        "delta_from_first_user_value": _q_delta_from_first_user_value,
         "window_ranks_events": _q_window_ranks_events,
         "window_rank_fractions_events": _q_window_rank_fractions_events,
         "quantile_buckets_events": _q_quantile_buckets_events,
@@ -2599,6 +2665,35 @@ def oracle_sql() -> dict[str, str]:
                        range between interval 3 hours preceding
                              and current row), 4) as rolling_max
             from events where ts is not null order by event_id
+        """,
+        "running_min_max_user_value": """
+            select event_id,
+                   round(min(value) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding), 4) as running_min,
+                   round(max(value) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding), 4) as running_max
+            from events order by event_id
+        """,
+        "user_gap_stats": """
+            with g as (
+              select user_id,
+                     epoch(ts - lag(ts) over (
+                         partition by user_id order by ts, event_id))
+                         as gap
+              from events where ts is not null)
+            select user_id, count(gap)::bigint as n_gaps,
+                   round(avg(gap), 4) as avg_gap_s,
+                   round(max(gap), 4) as max_gap_s
+            from g group by user_id order by user_id
+        """,
+        "delta_from_first_user_value": """
+            select event_id,
+                   round(value - first_value(value) over (
+                       partition by user_id order by ts, event_id
+                       rows unbounded preceding), 4) as delta_from_first
+            from events order by event_id
         """,
         "window_ranks_events": """
             select event_id,

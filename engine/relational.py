@@ -2074,3 +2074,152 @@ def window_rank_fractions(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_fracs, batch_format="pandas")
+
+
+def running_min_max(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value", id_col: str = "event_id",
+                    batch_size: int = 65536):
+    """Per-key cumulative MIN and MAX in event order — ``min(value) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` /
+    ``max(...)`` parity. SQL NULL semantics: a NULL value leaves the
+    running extremes unchanged (the row still reports the extremes of the
+    non-NULL values seen so far; NULL before the key's first non-NULL
+    value). NULL keys group as ONE partition (``dropna=False``), the
+    PARTITION BY family contract.
+
+    Same coarse-partition shape as :func:`running_sum` (only
+    (id, key, ts, val) rows shuffle, once). pandas' grouped
+    cummin/cummax leave NaN at NULL input positions instead of carrying
+    the running extreme, so a grouped forward-fill restores the SQL
+    carry semantics — rows before the first non-NULL stay NaN, which is
+    exactly SQL's NULL there. Returns (id, running_min, running_max).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _cum(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "running_min": [],
+                                 "running_max": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        keys = sub[key_col]
+        g = sub.groupby(keys, sort=False, dropna=False)[val_col]
+        lo = g.cummin().groupby(keys, sort=False, dropna=False).ffill()
+        hi = g.cummax().groupby(keys, sort=False, dropna=False).ffill()
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "running_min": lo.to_numpy(dtype=np.float64),
+            "running_max": hi.to_numpy(dtype=np.float64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_cum, batch_format="pandas")
+
+
+def interevent_gap_stats(ds, *, key_col: str = "user_id",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         batch_size: int = 65536):
+    """Per-key inter-event gap statistics — the gaps are ``ts - lag(ts)
+    OVER (PARTITION BY key ORDER BY ts, id)`` in seconds, aggregated per
+    key as (non-NULL gap count, mean, max). Each key's first event
+    contributes no gap, so a single-event key reports (0, NULL, NULL).
+    NULL-ts rows are dropped before the lag (oracle mirrors
+    ``ts IS NOT NULL``); NULL keys group as ONE partition.
+
+    Same coarse-partition shape as :func:`running_sum`: only
+    (id, key, ts) rows shuffle once, and both the grouped lag (shift)
+    and the gap aggregate run as pandas Cython kernels per partition —
+    the output is one row per key. Returns
+    (key, n_gaps, avg_gap_s, max_gap_s).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col]
+
+    def _part(df):
+        out = df.loc[df[ts_col].notna(), cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _gaps(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                key_col: [], "n_gaps": pd.array([], dtype="int64"),
+                "avg_gap_s": [], "max_gap_s": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        keys = sub[key_col]
+        prev = sub.groupby(keys, sort=False,
+                           dropna=False)[ts_col].shift(1)
+        gap = (sub[ts_col] - prev).dt.total_seconds()
+        g = gap.groupby(keys, sort=False, dropna=False)
+        out = pd.DataFrame({"n_gaps": g.count().to_numpy(np.int64),
+                            "avg_gap_s": g.mean().to_numpy(np.float64),
+                            "max_gap_s": g.max().to_numpy(np.float64)})
+        out.insert(0, key_col, g.count().index.to_numpy())
+        return out
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_gaps, batch_format="pandas")
+
+
+def delta_from_first(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     val_col: str = "value", id_col: str = "event_id",
+                     batch_size: int = 65536):
+    """Per-row delta from the key's first-event value — ``value -
+    FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)`` parity. FIRST_VALUE is positional (SQL default
+    RESPECT NULLS): if the key's first row has a NULL value every delta
+    in the key is NULL, and a NULL value row is NULL regardless — both
+    fall out of NaN arithmetic. NULL keys group as ONE partition; NULL
+    timestamps sort last (both engines' NULLS LAST default).
+
+    One sort + one ``maximum.accumulate`` start-index gather per coarse
+    key partition — no per-key loop. Returns (id, delta_from_first).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _delta(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "delta_from_first": []})
+        sub = df.sort_values([key_col, ts_col, id_col], kind="mergesort",
+                             na_position="last").reset_index(drop=True)
+        n = len(sub)
+        idx = np.arange(n, dtype=np.int64)
+        keys = sub[key_col].to_numpy()
+        knull = pd.isna(keys)
+        with np.errstate(invalid="ignore"):
+            kneq = keys[1:] != keys[:-1]
+        new_key = np.r_[True, kneq & ~(knull[1:] & knull[:-1])]
+        start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        v = sub[val_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "delta_from_first": v - v[start]})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_delta, batch_format="pandas")
