@@ -1532,6 +1532,71 @@ def _q_delta_from_first_user_value(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_weighted_avg_price_by_flag(sf_dir: str):
+    """Per-returnflag quantity-weighted mean extended price —
+    ``sum(price * qty) / sum(qty)`` from one-pass combiner rows."""
+    from engine.stats import grouped_weighted_mean
+    out = grouped_weighted_mean(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice", "l_quantity"]),
+        group_col="l_returnflag", value_col="l_extendedprice",
+        weight_col="l_quantity")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "n": b.column("n"),
+            "weighted_mean": pa.array(_round_half_away(
+                b.column("weighted_mean").to_numpy(zero_copy_only=False),
+                4), pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+def _q_token_type_ratio_docs(sf_dir: str):
+    """Per-document lexical diversity: whitespace token count, distinct
+    token count, type-token ratio (NULL for empty docs). Map-only."""
+    from engine.textstats import token_type_ratio
+    out = token_type_ratio(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("ttr").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "n_distinct": b.column("n_distinct"),
+            "ttr": pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_text_chunks_docs(sf_dir: str):
+    """Sliding 64-token / stride-32 chunking of every document — the
+    training-pipeline context-window splitter, map-only and vectorized
+    (repeat/cumsum chunk membership + one gather + binary_join)."""
+    from engine.textstats import text_chunks
+    return text_chunks(_docs(sf_dir, columns=["doc_id", "text"]),
+                       chunk_tokens=64, stride=32) \
+        .sort(["doc_id", "chunk_start"])
+
+
+def _q_bigram_heavy_hitters(sf_dir: str):
+    """EXACT top-20 adjacent-token bigrams corpus-wide (in-batch exact
+    counts -> light (bigram, count) shuffle -> per-block top-k)."""
+    from engine.textstats import bigram_heavy_hitters
+    return bigram_heavy_hitters(_docs(sf_dir, columns=["doc_id", "text"]),
+                                k=20)
+
+
+def _q_dedup_normalized(sf_dir: str):
+    """Duplicate groups after text canonicalization (lower, collapse
+    whitespace, strip) — md5 of the normalized text so DuckDB reproduces
+    the hash bit-for-bit."""
+    from engine.dedup import normalized_duplicates
+    return normalized_duplicates(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1555,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_fingerprints": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1624,6 +1690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "robust_zscore_events": _q_robust_zscore_events,
         "grouped_median_orders": _q_grouped_median_orders,
+        "weighted_avg_price_by_flag": _q_weighted_avg_price_by_flag,
+        "token_type_ratio_docs": _q_token_type_ratio_docs,
+        "text_chunks_docs": _q_text_chunks_docs,
+        "bigram_heavy_hitters": _q_bigram_heavy_hitters,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -1831,6 +1901,63 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as keep_id,
                    count(*) as dup_count
             from documents group by md5(coalesce(text, ''))
+        """,
+        "dedup_normalized": r"""
+            with n as (
+              select doc_id,
+                     md5(regexp_replace(regexp_replace(
+                         lower(coalesce(text, '')), '\s+', ' ', 'g'),
+                         '^ | $', '', 'g')) as norm_hash
+              from documents)
+            select norm_hash, min(doc_id) as keep_id,
+                   count(*) as dup_count
+            from n group by norm_hash
+        """,
+        "weighted_avg_price_by_flag": """
+            select l_returnflag, count(*)::bigint as n,
+                   round(sum(l_extendedprice * l_quantity)
+                         / sum(l_quantity), 4) as weighted_mean
+            from lineitem
+            where l_extendedprice is not null and l_quantity is not null
+            group by l_returnflag order by l_returnflag
+        """,
+        "token_type_ratio_docs": r"""
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') as t
+              from documents)
+            select doc_id, len(t)::bigint as n_tokens,
+                   len(list_distinct(t))::bigint as n_distinct,
+                   case when len(t) = 0 then null
+                        else round(len(list_distinct(t))::double
+                                   / len(t), 6) end as ttr
+            from toks order by doc_id
+        """,
+        "text_chunks_docs": r"""
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') as t
+              from documents)
+            select doc_id, s::bigint as chunk_start,
+                   least(64, len(t) - s)::bigint as n_tokens,
+                   array_to_string(t[s + 1: s + 64], ' ') as chunk
+            from toks,
+                 lateral (select unnest(range(0, greatest(len(t), 1),
+                                              32)) as s)
+            where s < len(t)
+            order by doc_id, chunk_start
+        """,
+        "bigram_heavy_hitters": r"""
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') as t
+              from documents),
+            z as (select unnest(list_zip(t[1:-2], t[2:-1])) as p
+                  from toks where len(t) >= 2)
+            select p[1] || ' ' || p[2] as bigram,
+                   count(*)::bigint as n_occurrences
+            from z group by bigram
+            order by n_occurrences desc, bigram limit 20
         """,
         "token_counts": r"""
             select doc_id,

@@ -1149,3 +1149,59 @@ def tune_bands(threshold: float, k: int = 64) -> tuple[int, int]:
 def candidate_probability(jaccard: float, bands: int, r: int) -> float:
     """P(pair becomes an LSH candidate) at a given true jaccard."""
     return 1.0 - (1.0 - jaccard ** r) ** bands
+
+
+def normalized_duplicates(ds, *, text_col: str = "text",
+                          key_col: str = "doc_id", batch_size: int = 8192,
+                          concurrency=None):
+    """Groups of texts identical AFTER canonicalization — lowercase,
+    whitespace collapsed to single spaces, leading/trailing whitespace
+    stripped (the standard pre-dedup text normalization of a training
+    pipeline; NULL text normalizes to the empty string). Returns
+    (norm_hash, keep_id, dup_count), keep = lowest key.
+
+    Same scale shape as :func:`exact_duplicates` — the normalization is
+    fused into the in-batch combiner (Arrow ``utf8_lower`` +
+    ``replace_substring_regex`` kernels, no second corpus pass), the
+    hash is md5 of the NORMALIZED text so a DuckDB oracle reproduces it
+    bit-for-bit, and only (32-byte hash, key) combiner rows shuffle.
+    """
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+        t = pc.fill_null(batch.column(text_col), "")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.replace_substring_regex(t, pattern=r"^ | $", replacement="")
+        h = np.array(_md5_hex(t.to_pylist()), dtype=object)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"norm_hash": h, "k": keys})
+        g = df.groupby("norm_hash")["k"].agg(["min", "count"]).reset_index()
+        return pa.table({
+            "norm_hash": pa.array(g["norm_hash"], pa.string()),
+            "keep_id": pa.array(g["min"].tolist()),  # native key dtype
+            "cnt": pa.array(g["count"].astype(np.int64)),
+        })
+
+    from engine.shuffle import balance
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size,
+                              concurrency=concurrency)
+    try:
+        n_rows = ds.count()
+    except Exception:  # pragma: no cover - non-countable input
+        n_rows = None
+    if n_rows is None or n_rows > 100_000:
+        partials = balance(partials)
+    from ray.data.aggregate import Min, Sum
+    agg = partials.groupby("norm_hash").aggregate(Min("keep_id"),
+                                                  Sum("cnt"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm_hash": b.column("norm_hash"),
+            "keep_id": b.column("min(keep_id)"),
+            "dup_count": b.column("sum(cnt)"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")

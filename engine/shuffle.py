@@ -76,8 +76,16 @@ def column_dtype(ds, col: str, default=None):
     for fetch in (False, True):
         try:
             sch = ds.schema(fetch_if_missing=fetch)
-            if sch is not None:
-                return sch.base_schema.field(col).type
+            if sch is None:
+                continue
+            base = sch.base_schema
+            try:
+                return base.field(col).type
+            except Exception:
+                # pandas-block datasets report a PandasBlockSchema
+                # (names + numpy dtypes), not an Arrow schema
+                i = list(base.names).index(col)
+                return pa.from_numpy_dtype(base.types[i])
         except Exception:
             pass
     return default if default is not None else pa.string()

@@ -773,3 +773,68 @@ def percentile_rank(ds, col: str, *, id_col: str,
 
     return ds.map_batches(_Rank(ref), batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def grouped_weighted_mean(ds, *, group_col: str, value_col: str,
+                          weight_col: str, batch_size=None):
+    """Per-group weighted mean — ``sum(value * weight) / sum(weight)``
+    over rows where BOTH value and weight are non-NULL (the SQL mirror
+    filters the same pair, since a NULL on either side would null the
+    product but not the bare ``sum(weight)``). A group whose weights sum
+    to exactly zero reports NULL (SQL ``CASE WHEN sum(w) = 0``).
+
+    Same sufficient-statistics shape as :func:`grouped_moments`: each
+    block collapses to per-group ``(n, swx, sw)`` combiner rows inside
+    ``map_batches``, only group-count rows shuffle, and the final divide
+    is vectorized. Returns (group, n, weighted_mean).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "n": [], "swx": [],
+                                 "sw": []})
+        sub = df[[group_col, value_col, weight_col]].dropna(
+            subset=[value_col, weight_col])
+        w = sub[weight_col].astype(np.float64)
+        g = pd.DataFrame({group_col: sub[group_col],
+                          "wx": sub[value_col].astype(np.float64) * w,
+                          "w": w}) \
+            .groupby(group_col, sort=False).agg(
+                n=("w", "size"), swx=("wx", "sum"),
+                sw=("w", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = balance(ds.map_batches(_partial, batch_format="pandas",
+                                   batch_size=batch_size))
+    agg = parts.groupby(group_col).aggregate(Sum("n"), Sum("swx"),
+                                             Sum("sw"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        swx = b.column("sum(swx)").to_numpy(zero_copy_only=False)
+        sw = b.column("sum(sw)").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            wm = np.where(sw != 0.0, swx / sw, np.nan)
+        return pa.table({
+            group_col: b.column(group_col),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "weighted_mean": pa.array([None if np.isnan(x) else float(x)
+                                       for x in wm], pa.float64())})
+
+    res = agg.map_batches(_final, batch_format="pyarrow")
+    # Bounded final: materialize + typed-empty substitution on an
+    # all-filtered corpus (Ray never calls UDFs on empty blocks — see
+    # grouped_moments).
+    res = res.materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], column_dtype(ds, group_col)),
+             "n": pa.array([], pa.int64()),
+             "weighted_mean": pa.array([], pa.float64())}))
+    return res

@@ -699,3 +699,181 @@ def tfidf_topk(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return joined.map_batches(_score_part, batch_format="pandas") \
         .groupby("part").map_groups(_final, batch_format="pandas")
+
+
+def token_type_ratio(ds, *, text_col: str = "text",
+                     key_col: str = "doc_id", batch_size: int = 8192,
+                     concurrency=None):
+    """Per-document lexical-diversity stats: whitespace token count,
+    distinct token count, and type-token ratio (distinct / total; NULL
+    for an empty document). NULL text counts as empty.
+
+    Map-only (no shuffle): tokens split zero-copy per batch
+    (``pc.split_pattern_regex``), per-doc distincts via dictionary codes
+    + ``np.unique`` on (doc, code) pairs — the same vectorized combiner
+    as :func:`token_doc_frequency`, but the aggregate is row-local so it
+    never leaves the batch. Returns (key, n_tokens, n_distinct, ttr).
+    """
+    from engine.kernels import _flatten, _valid_mask
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)  # drop split artifacts of separators
+        parent = parent[keep]
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)[keep]
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        if len(parent):
+            pairs = np.unique(np.stack([parent, codes]), axis=1)
+            n_distinct = np.bincount(pairs[0], minlength=n) \
+                .astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ttr = np.where(n_tokens > 0, n_distinct / n_tokens, np.nan)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "ttr": pa.array([None if np.isnan(x) else float(x)
+                             for x in ttr], pa.float64())})
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def text_chunks(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                chunk_tokens: int = 64, stride: int = 32,
+                batch_size: int = 2048, concurrency=None):
+    """Sliding token-window chunking — the context-window splitter of an
+    LLM training pipeline: each document yields chunks of up to
+    ``chunk_tokens`` whitespace tokens starting every ``stride`` tokens
+    (the last chunk may be short; an empty/NULL document yields none).
+
+    Map-only and fully vectorized: one flatten of the batch's token
+    lists, chunk membership built with repeat/cumsum index arithmetic
+    (no per-doc loop), one fancy-indexed gather, and the chunk strings
+    come from ``pc.binary_join`` over a rebuilt ListArray. Row expansion
+    is ~1/stride chunks per token, so downstream batches stay bounded;
+    at 100 TB this is the stage you'd size ``batch_size`` against the
+    longest documents. Returns (key, chunk_start, n_tokens, chunk).
+    """
+    from engine.kernels import _flatten, _valid_mask
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], batch.schema.field(key_col).type),
+            "chunk_start": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string())})
+        n = batch.num_rows
+        if not n:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        base = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=base[1:])
+        n_chunks = np.where(counts > 0, (counts - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        if not total:
+            return empty
+        cdoc = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+        cum = np.zeros(n, dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=cum[1:])
+        ordinal = np.arange(total, dtype=np.int64) - cum[cdoc]
+        cstart = ordinal * stride
+        clen = np.minimum(chunk_tokens, counts[cdoc] - cstart)
+        # gather indices for every chunk's tokens, in chunk order
+        ccum = np.zeros(total, dtype=np.int64)
+        np.cumsum(clen[:-1], out=ccum[1:])
+        tot_tok = int(clen.sum())
+        within = np.arange(tot_tok, dtype=np.int64) - np.repeat(ccum, clen)
+        gather = np.repeat(base[cdoc] + cstart, clen) + within
+        offsets = np.append(ccum, tot_tok)
+        chunks = pc.binary_join(pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.take(pa.array(gather))),
+            " ")
+        return pa.table({
+            key_col: batch.column(key_col).take(pa.array(cdoc)),
+            "chunk_start": pa.array(cstart, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "chunk": pc.cast(chunks, pa.string())})
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def bigram_heavy_hitters(ds, *, text_col: str = "text", k: int = 20,
+                         batch_size: int = 8192, concurrency=None):
+    """EXACT corpus-wide top-k adjacent-token bigrams by occurrence count
+    (ties broken by bigram ascending). The shuffle-bound sibling of the
+    sketch-based :func:`heavy_hitter_tokens`: per-batch exact bigram
+    counts collapse inside ``map_batches`` (adjacency = consecutive
+    flattened tokens with the same parent row; joined via
+    ``pc.binary_join_element_wise``), so only (bigram, partial_count)
+    rows shuffle; a per-block top-k after the groupby bounds the final
+    sort at blocks x k rows. Returns the top-k Dataset
+    (bigram, n_occurrences).
+    """
+    from engine.kernels import _flatten, _valid_mask
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(parent) < 2:
+            return empty
+        adj = parent[1:] == parent[:-1]
+        if not adj.any():
+            return empty
+        amask = pa.array(np.r_[adj, False])
+        bmask = pa.array(np.r_[False, adj])
+        bigrams = pc.binary_join_element_wise(
+            flat.filter(amask), flat.filter(bmask), " ")
+        vc = pc.value_counts(bigrams)
+        return pa.table({"bigram": pc.cast(vc.field("values"), pa.string()),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    from engine.shuffle import balance
+    partials = balance(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency))
+    agg = partials.groupby("bigram").sum("cnt")
+
+    def _block_topk(b: pa.Table) -> pa.Table:
+        out = pa.table({"bigram": b.column("bigram"),
+                        "n_occurrences": b.column("sum(cnt)")})
+        if out.num_rows > k:
+            idx = pc.select_k_unstable(
+                out, k, [("n_occurrences", "descending"),
+                         ("bigram", "ascending")])
+            out = out.take(idx)
+        return out
+
+    return agg.map_batches(_block_topk, batch_format="pyarrow") \
+        .sort(["n_occurrences", "bigram"],
+              descending=[True, False]).limit(k)
