@@ -1597,6 +1597,43 @@ def _q_dedup_normalized(sf_dir: str):
     return normalized_duplicates(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def _q_token_entropy_docs(sf_dir: str):
+    """Per-document unigram Shannon entropy + top-token share (the
+    repetition/diversity quality signals). Map-only."""
+    from engine.textstats import token_entropy
+    out = token_entropy(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            v = _round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 6)
+            return pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": b.column("n_tokens"),
+                         "entropy": _col("entropy"),
+                         "top_share": _col("top_share")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_grouped_zscore_events(sf_dir: str):
+    """Per-event z-score within the user's value distribution —
+    ``(value - avg) / stddev_samp`` window parity; NULL for single-row
+    or constant users."""
+    from engine.relational import grouped_zscore
+    out = grouped_zscore(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(b.column("z").to_numpy(zero_copy_only=False),
+                             6)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "z": pa.array([None if np.isnan(x) else float(x) for x in v],
+                          pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1694,6 +1731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_type_ratio_docs": _q_token_type_ratio_docs,
         "text_chunks_docs": _q_text_chunks_docs,
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
+        "token_entropy_docs": _q_token_entropy_docs,
+        "grouped_zscore_events": _q_grouped_zscore_events,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -1958,6 +1997,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n_occurrences
             from z group by bigram
             order by n_occurrences desc, bigram limit 20
+        """,
+        "token_entropy_docs": r"""
+            with tok as (
+              select doc_id, token, count(*)::double as c
+              from (select doc_id,
+                           unnest(regexp_extract_all(coalesce(text, ''),
+                                                     '\S+')) as token
+                    from documents)
+              group by doc_id, token)
+            select d.doc_id,
+                   coalesce(sum(t.c), 0)::bigint as n_tokens,
+                   round(-sum((t.c / s.n) * ln(t.c / s.n)), 6) as entropy,
+                   round(max(t.c) / any_value(s.n), 6) as top_share
+            from documents d
+            left join tok t using (doc_id)
+            left join (select doc_id, sum(c) as n from tok
+                       group by doc_id) s using (doc_id)
+            group by d.doc_id order by d.doc_id
+        """,
+        "grouped_zscore_events": """
+            select event_id,
+                   case when stddev_samp(value) over (
+                            partition by user_id) > 0
+                        then round((value - avg(value) over (
+                                 partition by user_id))
+                             / stddev_samp(value) over (
+                                 partition by user_id), 6)
+                   end as z
+            from events where value is not null order by event_id
         """,
         "token_counts": r"""
             select doc_id,

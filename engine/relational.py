@@ -2223,3 +2223,46 @@ def delta_from_first(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_delta, batch_format="pandas")
+
+
+def grouped_zscore(ds, *, key_col: str = "user_id",
+                   val_col: str = "value", id_col: str = "event_id",
+                   batch_size: int = 65536):
+    """Per-row z-score within its key's value distribution — ``(value -
+    avg(value) OVER (PARTITION BY key)) / stddev_samp(value) OVER
+    (PARTITION BY key)`` parity, with NULL when the stddev is NULL
+    (single-row key) or zero (constant key — the SQL mirror's ``CASE
+    WHEN std > 0``). NULL-value rows are dropped (oracle mirrors
+    ``value IS NOT NULL``); NULL keys group as ONE partition.
+
+    Same coarse-partition shape as :func:`running_sum`: (id, key, val)
+    rows shuffle once and the per-key mean/std come from pandas grouped
+    ``transform`` Cython kernels — one pass per partition, no per-key
+    loop. Returns (id, z).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, val_col]
+
+    def _part(df):
+        out = df.loc[df[val_col].notna(), cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _z(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "z": []})
+        g = df.groupby(key_col, sort=False, dropna=False)[val_col]
+        mu = g.transform("mean").to_numpy(np.float64)
+        sd = g.transform("std").to_numpy(np.float64)  # ddof=1, n=1 -> NaN
+        v = df[val_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(sd > 0, (v - mu) / sd, np.nan)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "z": z})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_z, batch_format="pandas")

@@ -877,3 +877,56 @@ def bigram_heavy_hitters(ds, *, text_col: str = "text", k: int = 20,
     return agg.map_batches(_block_topk, batch_format="pyarrow") \
         .sort(["n_occurrences", "bigram"],
               descending=[True, False]).limit(k)
+
+
+def token_entropy(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                  batch_size: int = 8192, concurrency=None):
+    """Per-document unigram Shannon entropy (natural log) and
+    top-token share — the two standard repetition/diversity quality
+    signals: low entropy or a high max-token share flags degenerate or
+    template text. Empty/NULL documents report NULL for both.
+
+    Map-only (no shuffle): distinct (doc, token) pair counts via
+    dictionary codes + ``np.unique`` (the :func:`token_doc_frequency`
+    combiner), then the entropy reduces with one ``np.bincount`` over
+    ``p*ln(p)`` weights and the max share with one ``np.maximum.at`` —
+    no per-doc loop. Returns (key, n_tokens, entropy, top_share).
+    """
+    from engine.kernels import _flatten, _valid_mask
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)[keep]
+        n_tok = np.bincount(parent, minlength=n).astype(np.int64)
+        ent = np.full(n, np.nan)
+        top = np.full(n, np.nan)
+        if len(parent):
+            pairs, c = np.unique(np.stack([parent, codes]), axis=1,
+                                 return_counts=True)
+            p = c / n_tok[pairs[0]]
+            e = np.zeros(n)
+            np.add.at(e, pairs[0], -p * np.log(p))
+            mx = np.zeros(n)
+            np.maximum.at(mx, pairs[0], c)
+            has = n_tok > 0
+            ent[has] = e[has]
+            top[has] = mx[has] / n_tok[has]
+        return pa.table({
+            key_col: batch.column(key_col),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "entropy": pa.array([None if np.isnan(x) else float(x)
+                                 for x in ent], pa.float64()),
+            "top_share": pa.array([None if np.isnan(x) else float(x)
+                                   for x in top], pa.float64())})
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

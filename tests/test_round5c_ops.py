@@ -246,3 +246,98 @@ class TestNormalizedDuplicates:
         assert got["norm_hash"].tolist() == exp["norm_hash"].tolist()
         assert got["keep_id"].tolist() == exp["keep_id"].tolist()
         assert got["dup_count"].tolist() == exp["dup_count"].tolist()
+
+
+class TestTokenEntropy:
+    @pytest.mark.parametrize("seed", [19, 67])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.textstats import token_entropy
+        df = _texts(seed)
+        got = token_entropy(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(r"""
+            with tok as (
+              select doc_id, token, count(*)::double as c
+              from (select doc_id,
+                           unnest(regexp_extract_all(coalesce(text, ''),
+                                                     '\S+')) as token
+                    from documents)
+              group by doc_id, token)
+            select d.doc_id,
+                   coalesce(sum(t.c), 0)::bigint as n_tokens,
+                   -sum((t.c / s.n) * ln(t.c / s.n)) as entropy,
+                   max(t.c) / any_value(s.n) as top_share
+            from documents d
+            left join tok t using (doc_id)
+            left join (select doc_id, sum(c) as n from tok
+                       group by doc_id) s using (doc_id)
+            group by d.doc_id order by d.doc_id""").df()
+        m = got.merge(exp, on="doc_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n_tokens_g"] == m["n_tokens_e"]).all()
+        for c in ("entropy", "top_share"):
+            assert np.isclose(m[c + "_g"].to_numpy(),
+                              m[c + "_e"].to_numpy(),
+                              equal_nan=True).all()
+
+    def test_degenerate_docs(self, ray_session):
+        import ray.data
+        from engine.textstats import token_entropy
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([None, "x x x x", "a b"], pa.string())}))
+        out = token_entropy(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert np.isnan(out["entropy"].iloc[0])       # empty doc
+        assert out["entropy"].iloc[1] == 0.0          # pure repetition
+        assert out["top_share"].iloc[1] == 1.0
+        assert np.isclose(out["entropy"].iloc[2], np.log(2))
+        assert out["top_share"].iloc[2] == 0.5
+
+
+class TestGroupedZscore:
+    @pytest.mark.parametrize("seed", [23, 71])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import grouped_zscore
+        rng = np.random.default_rng(seed)
+        n = 3000
+        df = pd.DataFrame({
+            "event_id": np.arange(1, n + 1, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n),
+            "value": rng.normal(size=n).round(3)})
+        df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+        got = grouped_zscore(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   case when stddev_samp(value) over (
+                            partition by user_id) > 0
+                        then (value - avg(value) over (
+                                 partition by user_id))
+                             / stddev_samp(value) over (
+                                 partition by user_id)
+                   end as z
+            from events where value is not null
+            order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert np.isclose(m["z_g"].to_numpy(), m["z_e"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_single_and_constant_keys_report_null(self, ray_session):
+        import ray.data
+        from engine.relational import grouped_zscore
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+            "value": pa.array([5.0, 7.0, 7.0, None], pa.float64())}))
+        out = grouped_zscore(ds).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == 3  # NULL value dropped
+        assert np.isnan(out["z"]).all()  # single-row + constant keys
