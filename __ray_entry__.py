@@ -1634,6 +1634,45 @@ def _q_grouped_zscore_events(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
 
 
+def _q_grouped_histogram_events(sf_dir: str):
+    """Per-event-type fixed-bin histogram of value over [0, 500] x 20
+    bins — (group, bin, n) combiner rows only, bit-for-bit SQL bin
+    edges."""
+    from engine.stats import grouped_histogram
+    return grouped_histogram(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        group_col="event_type", col="value", lo=0.0, hi=500.0,
+        bins=20).sort(["event_type", "bin"])
+
+
+def _q_grouped_minmax_scale_events(sf_dir: str):
+    """Per-event min-max scaled value within the user's distribution —
+    ``(v - min) / (max - min)`` window parity; NULL for constant
+    users."""
+    from engine.relational import grouped_minmax_scale
+    out = grouped_minmax_scale(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("scaled").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "scaled": pa.array([None if np.isnan(x) else float(x)
+                                for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_user_activity_span(sf_dir: str):
+    """Per-user activity profile: event count, distinct active days,
+    first/last event timestamp — the (key, day) combiner makes COUNT
+    DISTINCT a row count."""
+    from engine.relational import user_activity_span
+    return user_activity_span(
+        _read(sf_dir, "events", columns=["user_id", "ts"])) \
+        .sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1733,6 +1772,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_heavy_hitters": _q_bigram_heavy_hitters,
         "token_entropy_docs": _q_token_entropy_docs,
         "grouped_zscore_events": _q_grouped_zscore_events,
+        "grouped_histogram_events": _q_grouped_histogram_events,
+        "grouped_minmax_scale_events": _q_grouped_minmax_scale_events,
+        "user_activity_span": _q_user_activity_span,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2199,6 +2241,36 @@ def oracle_sql() -> dict[str, str]:
             from orders
             where o_totalprice >= 0.0 and o_totalprice <= 600000.0
             group by bin order by bin
+        """,
+        "grouped_histogram_events": """
+            select event_type,
+                   least(floor((value - 0.0) * 20 / 500.0),
+                         19)::bigint as bin,
+                   count(*) as n
+            from events
+            where value >= 0.0 and value <= 500.0
+              and event_type is not null
+            group by event_type, bin order by event_type, bin
+        """,
+        "grouped_minmax_scale_events": """
+            select event_id,
+                   case when max(value) over (partition by user_id)
+                             > min(value) over (partition by user_id)
+                        then round((value - min(value) over (
+                                 partition by user_id))
+                             / (max(value) over (partition by user_id)
+                                - min(value) over (
+                                    partition by user_id)), 6)
+                   end as scaled
+            from events where value is not null order by event_id
+        """,
+        "user_activity_span": """
+            select user_id, count(*)::bigint as n_events,
+                   count(distinct date_trunc('day', ts))::bigint
+                       as n_active_days,
+                   min(ts) as first_ts, max(ts) as last_ts
+            from events where ts is not null
+            group by user_id order by user_id
         """,
         "distinct_users_per_event_type": """
             select event_type, count(distinct user_id) as n_distinct

@@ -2266,3 +2266,111 @@ def grouped_zscore(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_z, batch_format="pandas")
+
+
+def grouped_minmax_scale(ds, *, key_col: str = "user_id",
+                         val_col: str = "value",
+                         id_col: str = "event_id",
+                         batch_size: int = 65536):
+    """Per-row min-max scaling within its key — ``(value - min(value)
+    OVER (PARTITION BY key)) / (max(value) OVER (PARTITION BY key) -
+    min(...))`` parity, NULL when the key's range is zero (constant
+    key — the SQL mirror's ``CASE WHEN max > min``). NULL-value rows
+    are dropped (oracle mirrors ``value IS NOT NULL``); NULL keys group
+    as ONE partition.
+
+    Same coarse-partition shape as :func:`grouped_zscore` — pandas
+    grouped ``transform('min'/'max')`` Cython kernels, one pass per
+    partition. Returns (id, scaled).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, val_col]
+
+    def _part(df):
+        out = df.loc[df[val_col].notna(), cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _scale(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "scaled": []})
+        g = df.groupby(key_col, sort=False, dropna=False)[val_col]
+        lo = g.transform("min").to_numpy(np.float64)
+        hi = g.transform("max").to_numpy(np.float64)
+        v = df[val_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(hi > lo, (v - lo) / (hi - lo), np.nan)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "scaled": s})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_scale, batch_format="pandas")
+
+
+def user_activity_span(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                       batch_size: int = 65536):
+    """Per-key activity profile: event count, DISTINCT active days
+    (``count(distinct date_trunc('day', ts))``), first and last event
+    timestamps. NULL-ts rows are dropped (oracle mirrors ``ts IS NOT
+    NULL``); NULL keys form one output row (SQL GROUP BY).
+
+    Scale shape: the in-batch combiner collapses each block to one row
+    per (key, day) — count + min/max ride those rows, so the shuffle is
+    (keys x active-days)-bounded and the DISTINCT needs no second pass:
+    after the (key, day) groupby-aggregate, each key's day count is just
+    its row count in the final coarse-partition pass. Returns
+    (key, n_events, n_active_days, first_ts, last_ts).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "day": [],
+                                 "n": pd.array([], dtype="int64"),
+                                 "first_ts": pd.array([], "datetime64[us]"),
+                                 "last_ts": pd.array([], "datetime64[us]")})
+        sub = df.loc[df[ts_col].notna(), [key_col, ts_col]]
+        g = pd.DataFrame({key_col: sub[key_col],
+                          "day": sub[ts_col].dt.floor("D"),
+                          "ts": sub[ts_col]}) \
+            .groupby([key_col, "day"], sort=False, dropna=False).agg(
+                n=("ts", "size"), first_ts=("ts", "min"),
+                last_ts=("ts", "max")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (hash64(g[key_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    # second-level combine of (key, day) partials BEFORE the per-key
+    # reduce keeps hot keys bounded: blocks x days -> days rows per key
+    def _merge(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "n_events": pd.array([], dtype="int64"),
+                                 "n_active_days":
+                                     pd.array([], dtype="int64"),
+                                 "first_ts":
+                                     pd.array([], "datetime64[us]"),
+                                 "last_ts":
+                                     pd.array([], "datetime64[us]")})
+        byday = df.groupby([key_col, "day"], sort=False, dropna=False).agg(
+            n=("n", "sum"), first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max")).reset_index()
+        out = byday.groupby(key_col, sort=False, dropna=False).agg(
+            n_events=("n", "sum"), n_active_days=("day", "size"),
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max")).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_active_days"] = out["n_active_days"].astype(np.int64)
+        return out
+
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_merge, batch_format="pandas")

@@ -838,3 +838,60 @@ def grouped_weighted_mean(ds, *, group_col: str, value_col: str,
              "n": pa.array([], pa.int64()),
              "weighted_mean": pa.array([], pa.float64())}))
     return res
+
+
+def grouped_histogram(ds, *, group_col: str, col: str, lo: float,
+                      hi: float, bins: int, batch_size: int = 65536):
+    """Per-group fixed-bin histogram over ``[lo, hi]`` — one
+    (group, bin, n) row per non-empty cell; out-of-range / NULL values
+    and NULL groups are dropped. The bin expression is the same
+    bit-for-bit SQL-reproducible ``min(floor((x - lo) * bins / (hi -
+    lo)), bins - 1)`` as :func:`value_histogram`.
+
+    Scale shape: a per-batch pandas (group, bin) size combiner bounds
+    the shuffle at (groups x bins) rows per block — the corpus never
+    shuffles; the final two-key groupby-sum is (groups x bins)-bounded,
+    so it materializes for the typed-empty substitution like the other
+    bounded finals.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    w = float(hi) - float(lo)
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [],
+                                 "bin": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        v = df[col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            keep = (v >= lo) & (v <= hi) & ~np.isnan(v) \
+                & df[group_col].notna().to_numpy()
+        sub = df.loc[keep, [group_col]].copy()
+        vv = v[keep]
+        sub["bin"] = np.minimum(np.floor((vv - lo) * bins / w),
+                                bins - 1).astype(np.int64)
+        g = sub.groupby([group_col, "bin"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby([group_col, "bin"]).aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b.column(group_col),
+                         "bin": b.column("bin"),
+                         "n": b.column("sum(n)")})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {group_col: pa.array([], column_dtype(ds, group_col)),
+             "bin": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}))
+    return res

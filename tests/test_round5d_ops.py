@@ -1,0 +1,139 @@
+"""Round-5 fourth batch: per-group histogram, per-key min-max scaling,
+and per-key activity-span profiles — randomized differentials vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(seed, n=3000, keys=60):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "user_id": rng.integers(0, keys, n),
+        "event_type": rng.choice(["click", "view", "purchase", None], n,
+                                 p=[0.4, 0.3, 0.2, 0.1]),
+        "ts": pd.to_datetime("2020-01-01") + pd.to_timedelta(
+            rng.integers(0, 3600 * 24 * 14, n), unit="s"),
+        "value": rng.uniform(-10, 110, n).round(3)})
+    df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+    df.loc[rng.choice(n, n // 30, replace=False), "ts"] = pd.NaT
+    return df
+
+
+class TestGroupedHistogram:
+    @pytest.mark.parametrize("seed", [9, 37])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import grouped_histogram
+        df = _events(seed)
+        got = grouped_histogram(
+            ray.data.from_pandas(df), group_col="event_type",
+            col="value", lo=0.0, hi=100.0, bins=10).to_pandas() \
+            .sort_values(["event_type", "bin"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_type,
+                   least(floor((value - 0.0) * 10 / 100.0),
+                         9)::bigint as bin,
+                   count(*)::bigint as n
+            from events
+            where value >= 0.0 and value <= 100.0
+              and event_type is not null
+            group by event_type, bin
+            order by event_type, bin""").df()
+        assert got["event_type"].tolist() == exp["event_type"].tolist()
+        assert got["bin"].tolist() == exp["bin"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_all_filtered_typed_empty(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_histogram
+        ds = ray.data.from_arrow(pa.table({
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([None, None], pa.float64())}))
+        out = grouped_histogram(ds, group_col="event_type", col="value",
+                                lo=0.0, hi=1.0, bins=4)
+        schema = out.schema().base_schema
+        assert out.count() == 0
+        assert schema.field("event_type").type == pa.string()
+        assert schema.field("bin").type == pa.int64()
+
+
+class TestGroupedMinmaxScale:
+    @pytest.mark.parametrize("seed", [15, 59])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import grouped_minmax_scale
+        df = _events(seed)
+        got = grouped_minmax_scale(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   case when max(value) over (partition by user_id)
+                             > min(value) over (partition by user_id)
+                        then (value - min(value) over (
+                                 partition by user_id))
+                             / (max(value) over (partition by user_id)
+                                - min(value) over (
+                                    partition by user_id))
+                   end as scaled
+            from events where value is not null
+            order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert np.isclose(m["scaled_g"].to_numpy(),
+                          m["scaled_e"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_constant_key_reports_null(self, ray_session):
+        import ray.data
+        from engine.relational import grouped_minmax_scale
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "value": pa.array([3.0, 3.0], pa.float64())}))
+        out = grouped_minmax_scale(ds).to_pandas()
+        assert np.isnan(out["scaled"]).all()
+
+
+class TestUserActivitySpan:
+    @pytest.mark.parametrize("seed", [21, 73])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import user_activity_span
+        df = _events(seed)
+        got = user_activity_span(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select user_id, count(*)::bigint as n_events,
+                   count(distinct date_trunc('day', ts))::bigint
+                       as n_active_days,
+                   min(ts) as first_ts, max(ts) as last_ts
+            from events where ts is not null
+            group by user_id order by user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        for c in ("n_events", "n_active_days", "first_ts", "last_ts"):
+            assert (m[c + "_g"] == m[c + "_e"]).all()
+
+    def test_cross_batch_day_merge(self, ray_session):
+        import ray.data
+        from engine.relational import user_activity_span
+        # same (user, day) split across batches must count ONE day
+        df = pd.DataFrame({
+            "user_id": np.array([1] * 40, dtype=np.int64),
+            "ts": pd.to_datetime("2021-06-01 12:00")
+            + pd.to_timedelta(np.arange(40) % 3, unit="h")})
+        got = user_activity_span(
+            ray.data.from_pandas(df), batch_size=4).to_pandas()
+        assert len(got) == 1
+        assert got["n_events"].iloc[0] == 40
+        assert got["n_active_days"].iloc[0] == 1
