@@ -1673,6 +1673,32 @@ def _q_user_activity_span(sf_dir: str):
         .sort("user_id")
 
 
+def _q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-style forecast revenue: filtered
+    ``sum(l_extendedprice * l_discount)`` — one partial row per block,
+    scalar tree-fold, no shuffle."""
+    from engine.relational import q6_forecast_revenue
+    out = q6_forecast_revenue(
+        _read(sf_dir, "lineitem",
+              columns=["l_shipdate", "l_discount", "l_quantity",
+                       "l_extendedprice"]))
+    rev = out.column("revenue").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "revenue": pa.array([None if np.isnan(x) else float(
+            _round_half_away(x, 4)) for x in rev], pa.float64()),
+        "n_items": out.column("n_items")})
+
+
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Per-pair event-type co-occurrence over users (market-basket):
+    distinct (user, type) -> within-key self-merge -> vocabulary²
+    groupby."""
+    from engine.relational import event_type_cooccurrence
+    return event_type_cooccurrence(
+        _read(sf_dir, "events", columns=["user_id", "event_type"])) \
+        .sort(["type_a", "type_b"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1775,6 +1801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_histogram_events": _q_grouped_histogram_events,
         "grouped_minmax_scale_events": _q_grouped_minmax_scale_events,
         "user_activity_span": _q_user_activity_span,
+        "q6_forecast_revenue": _q_q6_forecast_revenue,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2241,6 +2269,28 @@ def oracle_sql() -> dict[str, str]:
             from orders
             where o_totalprice >= 0.0 and o_totalprice <= 600000.0
             group by bin order by bin
+        """,
+        "q6_forecast_revenue": """
+            select round(sum(l_extendedprice * l_discount), 4)
+                       as revenue,
+                   count(*)::bigint as n_items
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate < timestamp '1997-01-01'
+              and l_discount >= 0.05 and l_discount <= 0.07
+              and l_quantity < 24
+        """,
+        "event_type_cooccurrence": """
+            with dt as (
+              select distinct user_id, event_type
+              from events
+              where user_id is not null and event_type is not null)
+            select a.event_type as type_a, b.event_type as type_b,
+                   count(*)::bigint as n_keys
+            from dt a join dt b
+              on a.user_id = b.user_id
+             and a.event_type < b.event_type
+            group by type_a, type_b order by type_a, type_b
         """,
         "grouped_histogram_events": """
             select event_type,

@@ -2374,3 +2374,115 @@ def user_activity_span(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.map_batches(_partial, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_merge, batch_format="pandas")
+
+
+def q6_forecast_revenue(lineitem_ds, *, date_lo: str = "1996-01-01",
+                        date_hi: str = "1997-01-01",
+                        disc_lo: float = 0.05, disc_hi: float = 0.07,
+                        qty_lt: float = 24.0, batch_size: int = 65536):
+    """TPC-H Q6-style forecast-revenue: ``sum(l_extendedprice *
+    l_discount)`` over a shipdate year, a discount band (inclusive) and
+    a quantity cap — the canonical filtered scalar aggregate. Returns a
+    ONE-ROW table (revenue, n_items); an empty selection reports SQL's
+    (NULL, 0).
+
+    Scale shape: pure map + tiny aggregate — each block collapses to one
+    (rev, n) partial row inside ``map_batches`` (Arrow compare kernels,
+    no pandas), so the only data movement is one row per block.
+    """
+    import pandas as pd
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            keep = ((d >= lo) & (d < hi) & (disc >= disc_lo)
+                    & (disc <= disc_hi) & (qty < qty_lt))
+        keep &= ~(np.isnan(disc) | np.isnan(qty) | np.isnan(price))
+        return pa.table({
+            "rev": pa.array([float((price[keep] * disc[keep]).sum())],
+                            pa.float64()),
+            "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = lineitem_ds.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=batch_size)
+    # one row per block -> a scalar Sum aggregate is the intended
+    # consumption (no shuffle; Ray folds partials in a tree)
+    totals = parts.sum(["rev", "n"])
+    n = int(totals["sum(n)"] or 0)
+    rev = float(totals["sum(rev)"]) if n else None
+    return pa.table({"revenue": pa.array([rev], pa.float64()),
+                     "n_items": pa.array([n], pa.int64())})
+
+
+def event_type_cooccurrence(ds, *, key_col: str = "user_id",
+                            type_col: str = "event_type",
+                            batch_size: int = 65536):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, the number of keys that exhibit BOTH — ``select a.t, b.t,
+    count(*) from distinct(key, t) a join distinct(key, t) b on key
+    and a.t < b.t group by 1, 2`` parity. NULL keys / types drop.
+
+    Scale shape: per-batch distinct (key, type) pairs (the dictionary-
+    code combiner) shuffle ONCE on key hash; within each coarse
+    partition a cross-batch dedup + one vectorized self-merge expands
+    pairs (bounded: a key with t distinct types yields t(t-1)/2 rows,
+    and t is capped by the type vocabulary, not the corpus); the final
+    (type_a, type_b) groupby is vocabulary²-bounded. Returns
+    (type_a, type_b, n_keys).
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks, balance
+    from ray.data.aggregate import Sum
+    P = reduce_blocks()
+
+    def _distinct(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], type_col: [], "part": []})
+        sub = df[[key_col, type_col]].dropna().drop_duplicates()
+        sub = sub.copy()
+        sub["part"] = (hash64(sub[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return sub
+
+    def _pairs(df):
+        out_empty = pd.DataFrame({"type_a": [], "type_b": [],
+                                  "n": pd.array([], dtype="int64")})
+        if key_col not in df.columns or not len(df):
+            return out_empty
+        sub = df[[key_col, type_col]].drop_duplicates()
+        m = sub.merge(sub, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[type_col + "_a"] < m[type_col + "_b"]]
+        if not len(m):
+            return out_empty
+        g = m.groupby([type_col + "_a", type_col + "_b"], sort=False) \
+            .size().rename("n").reset_index()
+        g.columns = ["type_a", "type_b", "n"]
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_distinct, batch_format="pandas",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(_pairs, batch_format="pandas")
+    agg = balance(parts).groupby(["type_a", "type_b"]).aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"type_a": b.column("type_a"),
+                         "type_b": b.column("type_b"),
+                         "n_keys": b.column("sum(n)")})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        t = column_dtype(ds, type_col)
+        return ray.data.from_arrow(pa.table(
+            {"type_a": pa.array([], t), "type_b": pa.array([], t),
+             "n_keys": pa.array([], pa.int64())}))
+    return res

@@ -137,3 +137,81 @@ class TestUserActivitySpan:
         assert len(got) == 1
         assert got["n_events"].iloc[0] == 40
         assert got["n_active_days"].iloc[0] == 1
+
+
+class TestQ6ForecastRevenue:
+    def test_differential_vs_duckdb(self, ray_session):
+        import ray.data
+        from engine.relational import q6_forecast_revenue
+        rng = np.random.default_rng(31)
+        n = 5000
+        df = pd.DataFrame({
+            "l_shipdate": pd.to_datetime("1995-06-01") + pd.to_timedelta(
+                rng.integers(0, 3 * 365, n), unit="D"),
+            "l_discount": rng.choice(
+                [0.0, 0.04, 0.05, 0.06, 0.07, 0.08], n),
+            "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+            "l_extendedprice": rng.uniform(100, 9000, n).round(2)})
+        got = q6_forecast_revenue(ray.data.from_pandas(df)).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", df)
+        exp = con.execute("""
+            select sum(l_extendedprice * l_discount) as revenue,
+                   count(*)::bigint as n_items
+            from lineitem
+            where l_shipdate >= timestamp '1996-01-01'
+              and l_shipdate < timestamp '1997-01-01'
+              and l_discount >= 0.05 and l_discount <= 0.07
+              and l_quantity < 24""").df()
+        assert got["n_items"].iloc[0] == exp["n_items"].iloc[0] > 0
+        assert np.isclose(got["revenue"].iloc[0], exp["revenue"].iloc[0])
+
+    def test_empty_selection_reports_sql_null(self, ray_session):
+        import ray.data
+        from engine.relational import q6_forecast_revenue
+        df = pd.DataFrame({
+            "l_shipdate": pd.to_datetime(["1990-01-01"]),
+            "l_discount": [0.06], "l_quantity": [5.0],
+            "l_extendedprice": [100.0]})
+        got = q6_forecast_revenue(ray.data.from_pandas(df)).to_pandas()
+        assert got["n_items"].iloc[0] == 0
+        assert np.isnan(got["revenue"].iloc[0])
+
+
+class TestEventTypeCooccurrence:
+    @pytest.mark.parametrize("seed", [27, 83])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import event_type_cooccurrence
+        df = _events(seed)
+        # small batches force cross-batch distinct merging per key
+        got = event_type_cooccurrence(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with dt as (
+              select distinct user_id, event_type
+              from events
+              where user_id is not null and event_type is not null)
+            select a.event_type as type_a, b.event_type as type_b,
+                   count(*)::bigint as n_keys
+            from dt a join dt b
+              on a.user_id = b.user_id
+             and a.event_type < b.event_type
+            group by type_a, type_b order by type_a, type_b""").df()
+        assert got["type_a"].tolist() == exp["type_a"].tolist()
+        assert got["type_b"].tolist() == exp["type_b"].tolist()
+        assert got["n_keys"].tolist() == exp["n_keys"].tolist()
+
+    def test_no_pairs_typed_empty(self, ray_session):
+        import ray.data
+        from engine.relational import event_type_cooccurrence
+        ds = ray.data.from_arrow(pa.table({
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["a", "b"], pa.string())}))
+        out = event_type_cooccurrence(ds)
+        assert out.count() == 0
+        assert out.schema().base_schema.field("type_a").type \
+            == pa.string()
