@@ -1699,6 +1699,35 @@ def _q_event_type_cooccurrence(sf_dir: str):
         .sort(["type_a", "type_b"])
 
 
+def _q_user_event_type_set(sf_dir: str):
+    """Per-user sorted DISTINCT event-type set —
+    ``string_agg(DISTINCT event_type, ',' ORDER BY event_type)``
+    parity; the combiner dedups inside each batch."""
+    from engine.relational import collect_distinct_sorted
+    return collect_distinct_sorted(
+        _read(sf_dir, "events", columns=["user_id", "event_type"])) \
+        .sort("user_id")
+
+
+def _q_type_value_mutual_information(sf_dir: str):
+    """Mutual information (nats) between event_type and the 10-bin
+    bucketing of value over [0, 500] — vocabulary x bins contingency
+    combiner, worker-side reduce."""
+    from engine.stats import mutual_information
+    out = mutual_information(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        a_col="event_type", b_col="value", lo=0.0, hi=500.0, bins=10)
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(b.column("mi").to_numpy(zero_copy_only=False),
+                             6)
+        return pa.table({
+            "mi": pa.array([None if np.isnan(x) else float(x) for x in v],
+                           pa.float64()),
+            "n": b.column("n")})
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1803,6 +1832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_span": _q_user_activity_span,
         "q6_forecast_revenue": _q_q6_forecast_revenue,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "user_event_type_set": _q_user_event_type_set,
+        "type_value_mutual_information": _q_type_value_mutual_information,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2291,6 +2322,33 @@ def oracle_sql() -> dict[str, str]:
               on a.user_id = b.user_id
              and a.event_type < b.event_type
             group by type_a, type_b order by type_a, type_b
+        """,
+        "user_event_type_set": """
+            select user_id,
+                   string_agg(distinct event_type, ','
+                              order by event_type) as vals,
+                   count(distinct event_type)::bigint as n_distinct
+            from events
+            where user_id is not null and event_type is not null
+            group by user_id order by user_id
+        """,
+        "type_value_mutual_information": """
+            with c as (
+              select event_type as a,
+                     least(floor((value - 0.0) * 10 / 500.0),
+                           9)::bigint as b,
+                     count(*)::double as n
+              from events
+              where value >= 0.0 and value <= 500.0
+                and event_type is not null
+              group by a, b),
+            tot as (select sum(n) as t from c),
+            ma as (select a, sum(n) as na from c group by a),
+            mb as (select b, sum(n) as nb from c group by b)
+            select round(sum((n / t.t) * ln((n * t.t) / (na * nb))), 6)
+                       as mi,
+                   sum(n)::bigint as n
+            from c join ma using (a) join mb using (b), tot t
         """,
         "grouped_histogram_events": """
             select event_type,

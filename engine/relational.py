@@ -2486,3 +2486,49 @@ def event_type_cooccurrence(ds, *, key_col: str = "user_id",
             {"type_a": pa.array([], t), "type_b": pa.array([], t),
              "n_keys": pa.array([], pa.int64())}))
     return res
+
+
+def collect_distinct_sorted(ds, *, key_col: str = "user_id",
+                            val_col: str = "event_type", sep: str = ",",
+                            batch_size: int = 65536):
+    """Per-key DISTINCT value set as one value-sorted joined string —
+    ``string_agg(DISTINCT val, sep ORDER BY val)`` parity. NULL values
+    are skipped; a key with only NULLs emits no row; NULL keys are
+    dropped (SQL mirror ``key IS NOT NULL``, the collect_sequence
+    convention). Returns (key, vals, n_distinct).
+
+    Scale shape: per-batch distinct (key, val) pairs are the combiner
+    (duplicates die in the batch, so the shuffle is set-bounded, not
+    corpus-bounded); whole keys co-locate on P coarse hash partitions
+    where a cross-batch dedup + ONE sort + grouped join finishes — the
+    per-key bound is the value vocabulary, far smaller than a history.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _distinct(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], val_col: [], "part": []})
+        sub = df[[key_col, val_col]].dropna().drop_duplicates().copy()
+        sub["part"] = (hash64(sub[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return sub
+
+    def _collect(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "vals": [],
+                                 "n_distinct": pd.array([],
+                                                        dtype="int64")})
+        sub = df[[key_col, val_col]].drop_duplicates() \
+            .sort_values([key_col, val_col], kind="mergesort")
+        g = sub.groupby(key_col, sort=False)[val_col]
+        return pd.DataFrame({
+            key_col: g.agg("first").index.to_numpy(),
+            "vals": g.agg(sep.join).to_numpy(),
+            "n_distinct": g.size().to_numpy().astype(np.int64)})
+
+    return ds.map_batches(_distinct, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_collect, batch_format="pandas")

@@ -895,3 +895,67 @@ def grouped_histogram(ds, *, group_col: str, col: str, lo: float,
              "bin": pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}))
     return res
+
+
+def mutual_information(ds, *, a_col: str, b_col: str, lo: float,
+                       hi: float, bins: int, batch_size: int = 65536):
+    """Mutual information (nats) between a categorical column and a
+    fixed-bin bucketing of a numeric column — the feature-relevance
+    screen of a training pipeline. Rows with NULL category or
+    out-of-range/NULL values drop; the bin expression is the
+    SQL-reproducible one of :func:`value_histogram`. Returns ONE row
+    (mi, n); an empty contingency reports (NULL, 0).
+
+    Scale shape: the per-batch (category, bin) count combiner bounds the
+    shuffle at vocabulary x bins rows per block; the MI reduce runs
+    worker-side over the single coalesced contingency block (repartition
+    to 1 block of a vocabulary-x-bins-bounded table — never a driver
+    loop).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    w = float(hi) - float(lo)
+
+    def _partial(df):
+        if a_col not in df.columns or not len(df):
+            return pd.DataFrame({"a": [], "b": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        v = df[b_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore"):
+            keep = (v >= lo) & (v <= hi) & ~np.isnan(v) \
+                & df[a_col].notna().to_numpy()
+        sub = pd.DataFrame({"a": df.loc[keep, a_col].to_numpy()})
+        vv = v[keep]
+        sub["b"] = np.minimum(np.floor((vv - lo) * bins / w),
+                              bins - 1).astype(np.int64)
+        g = sub.groupby(["a", "b"], sort=False).size().rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(["a", "b"]).aggregate(Sum("n"))
+
+    def _mi(df):
+        if "a" not in df.columns or not len(df):
+            return pd.DataFrame({"mi": pd.array([], dtype="float64"),
+                                 "n": pd.array([], dtype="int64")})
+        n = df["sum(n)"].to_numpy(np.float64)
+        t = n.sum()
+        na = df.groupby("a", sort=False)["sum(n)"].transform("sum") \
+            .to_numpy(np.float64)
+        nb = df.groupby("b", sort=False)["sum(n)"].transform("sum") \
+            .to_numpy(np.float64)
+        mi = float(((n / t) * np.log((n * t) / (na * nb))).sum())
+        return pd.DataFrame({"mi": [mi], "n": [int(t)]})
+
+    res = agg.repartition(1).map_batches(
+        _mi, batch_format="pandas", batch_size=None).materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"mi": pa.array([None], pa.float64()),
+             "n": pa.array([0], pa.int64())}))
+    return res

@@ -215,3 +215,84 @@ class TestEventTypeCooccurrence:
         assert out.count() == 0
         assert out.schema().base_schema.field("type_a").type \
             == pa.string()
+
+
+class TestCollectDistinctSorted:
+    @pytest.mark.parametrize("seed", [33, 89])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import collect_distinct_sorted
+        df = _events(seed)
+        got = collect_distinct_sorted(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select user_id,
+                   string_agg(distinct event_type, ','
+                              order by event_type) as vals,
+                   count(distinct event_type)::bigint as n_distinct
+            from events
+            where user_id is not null and event_type is not null
+            group by user_id order by user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["vals_g"] == m["vals_e"]).all()
+        assert (m["n_distinct_g"] == m["n_distinct_e"]).all()
+
+
+class TestMutualInformation:
+    @pytest.mark.parametrize("seed", [39, 97])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import mutual_information
+        df = _events(seed)
+        got = mutual_information(
+            ray.data.from_pandas(df), a_col="event_type", b_col="value",
+            lo=0.0, hi=100.0, bins=8).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with c as (
+              select event_type as a,
+                     least(floor((value - 0.0) * 8 / 100.0),
+                           7)::bigint as b,
+                     count(*)::double as n
+              from events
+              where value >= 0.0 and value <= 100.0
+                and event_type is not null
+              group by a, b),
+            tot as (select sum(n) as t from c),
+            ma as (select a, sum(n) as na from c group by a),
+            mb as (select b, sum(n) as nb from c group by b)
+            select sum((n / t.t) * ln((n * t.t) / (na * nb))) as mi,
+                   sum(n)::bigint as n
+            from c join ma using (a) join mb using (b), tot t""").df()
+        assert got["n"].iloc[0] == exp["n"].iloc[0] > 0
+        assert np.isclose(got["mi"].iloc[0], exp["mi"].iloc[0])
+        assert got["mi"].iloc[0] >= -1e-12  # MI is non-negative
+
+    def test_all_filtered_reports_null(self, ray_session):
+        import ray.data
+        from engine.stats import mutual_information
+        ds = ray.data.from_arrow(pa.table({
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "value": pa.array([None, None], pa.float64())}))
+        got = mutual_information(ds, a_col="event_type", b_col="value",
+                                 lo=0.0, hi=1.0, bins=4).to_pandas()
+        assert len(got) == 1
+        assert got["n"].iloc[0] == 0
+        assert pd.isna(got["mi"].iloc[0])
+
+    def test_independent_columns_near_zero(self, ray_session):
+        import ray.data
+        from engine.stats import mutual_information
+        rng = np.random.default_rng(0)
+        n = 20000
+        df = pd.DataFrame({"event_type": rng.choice(["x", "y"], n),
+                           "value": rng.uniform(0, 1, n)})
+        got = mutual_information(
+            ray.data.from_pandas(df), a_col="event_type", b_col="value",
+            lo=0.0, hi=1.0, bins=4).to_pandas()
+        assert got["mi"].iloc[0] < 0.001
