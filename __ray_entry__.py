@@ -1728,6 +1728,37 @@ def _q_type_value_mutual_information(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_value_gini_by_type(sf_dir: str):
+    """Per-event-type Gini concentration of value — sorted-rank identity,
+    one sort per coarse partition."""
+    from engine.stats import grouped_gini
+    out = grouped_gini(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        group_col="event_type", value_col="value")
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("gini").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "gini": pa.array([None if np.isnan(x) else float(x)
+                              for x in v], pa.float64()),
+            "n": b.column("n")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+def _q_grouped_iqr_outliers_events(sf_dir: str):
+    """Events outside their type's Tukey fences (per-group exact
+    quartiles computed in-partition — no fence join)."""
+    from engine.stats import grouped_iqr_outliers
+    return grouped_iqr_outliers(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value"]),
+        group_col="event_type", value_col="value",
+        id_col="event_id").sort("event_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1834,6 +1865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "user_event_type_set": _q_user_event_type_set,
         "type_value_mutual_information": _q_type_value_mutual_information,
+        "value_gini_by_type": _q_value_gini_by_type,
+        "grouped_iqr_outliers_events": _q_grouped_iqr_outliers_events,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2349,6 +2382,38 @@ def oracle_sql() -> dict[str, str]:
                        as mi,
                    sum(n)::bigint as n
             from c join ma using (a) join mb using (b), tot t
+        """,
+        "value_gini_by_type": """
+            with r as (
+              select event_type, value,
+                     row_number() over (partition by event_type
+                                        order by value, event_id) as rn,
+                     count(*) over (partition by event_type) as n,
+                     sum(value) over (partition by event_type) as s
+              from events
+              where value is not null and event_type is not null)
+            select event_type,
+                   case when any_value(s) != 0 then
+                       round(sum((2.0 * rn - n - 1) * value)
+                             / (any_value(n) * any_value(s)), 6)
+                   end as gini,
+                   any_value(n)::bigint as n
+            from r group by event_type order by event_type
+        """,
+        "grouped_iqr_outliers_events": """
+            with f as (
+              select event_type,
+                     quantile_cont(value, 0.25) as q1,
+                     quantile_cont(value, 0.75) as q3
+              from events
+              where value is not null and event_type is not null
+              group by event_type)
+            select e.event_id, e.event_type, e.value
+            from events e join f using (event_type)
+            where e.value is not null
+              and (e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                   or e.value > f.q3 + 1.5 * (f.q3 - f.q1))
+            order by e.event_id
         """,
         "grouped_histogram_events": """
             select event_type,

@@ -959,3 +959,99 @@ def mutual_information(ds, *, a_col: str, b_col: str, lo: float,
             {"mi": pa.array([None], pa.float64()),
              "n": pa.array([0], pa.int64())}))
     return res
+
+
+def grouped_gini(ds, *, group_col: str, value_col: str,
+                 batch_size: int = 65536):
+    """Per-group Gini concentration of a numeric column — the sorted-rank
+    identity ``sum((2*rank - n - 1) * x) / (n * sum(x))`` (``rank`` =
+    1-based position in the group's value-ascending order; the sum is
+    tie-order invariant, so any stable sort matches SQL's
+    ``row_number``-based spelling). NULL values / NULL groups drop; a
+    group whose values sum to zero reports NULL (the SQL mirror's ``CASE
+    WHEN s != 0``). Returns (group, gini, n).
+
+    Scale shape: whole groups co-locate on P coarse hash partitions
+    (only (group, value) rows shuffle, once); per partition ONE sort +
+    grouped cumcount/transform Cython kernels — no per-group loop. The
+    per-group-fits-worker contract matches grouped_quantiles.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _part(df):
+        out = df[[group_col, value_col]].dropna().copy()
+        out["part"] = (hash64(out[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _gini(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "gini": [],
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.sort_values([group_col, value_col],
+                             kind="mergesort").reset_index(drop=True)
+        g = sub.groupby(group_col, sort=False)
+        rn = g.cumcount().to_numpy(np.float64) + 1.0
+        n = g[value_col].transform("size").to_numpy(np.float64)
+        v = sub[value_col].to_numpy(np.float64)
+        w = pd.Series((2.0 * rn - n - 1.0) * v)
+        agg = pd.DataFrame({
+            "wsum": w.groupby(sub[group_col], sort=False).sum(),
+            "s": g[value_col].sum(),
+            "n": g[value_col].size().astype(np.int64)})
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = np.where(agg["s"] != 0.0,
+                            agg["wsum"] / (agg["n"] * agg["s"]), np.nan)
+        out = pd.DataFrame({"gini": gini, "n": agg["n"].to_numpy()})
+        out.insert(0, group_col, agg.index.to_numpy())
+        return out
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_gini, batch_format="pandas")
+
+
+def grouped_iqr_outliers(ds, *, group_col: str, value_col: str,
+                         id_col: str, k: float = 1.5,
+                         batch_size: int = 65536):
+    """Rows outside their GROUP's Tukey fences — ``value < q1 - k*iqr OR
+    value > q3 + k*iqr`` with per-group exact linear-interpolated
+    quartiles (``quantile_cont`` parity). NULL values / NULL groups
+    drop. Returns the outlier rows (id, group, value).
+
+    Scale shape: one shuffle co-locates whole groups on P coarse hash
+    partitions; the fences are computed IN the partition (grouped
+    ``transform('quantile')`` — one call per group, not per row) and the
+    filter happens in the same pass — no fence join, no broadcast, no
+    second corpus pass. The global sibling is :func:`iqr_outliers`.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, group_col, value_col]
+
+    def _part(df):
+        out = df[cols].dropna(subset=[group_col, value_col]).copy()
+        out["part"] = (hash64(out[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _flag(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], group_col: [],
+                                 value_col: []})
+        g = df.groupby(group_col, sort=False)[value_col]
+        q1 = g.transform("quantile", 0.25).to_numpy(np.float64)
+        q3 = g.transform("quantile", 0.75).to_numpy(np.float64)
+        iqr = q3 - q1
+        v = df[value_col].to_numpy(np.float64)
+        m = (v < q1 - k * iqr) | (v > q3 + k * iqr)
+        return df.loc[m, cols].reset_index(drop=True)
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_flag, batch_format="pandas")

@@ -296,3 +296,93 @@ class TestMutualInformation:
             ray.data.from_pandas(df), a_col="event_type", b_col="value",
             lo=0.0, hi=1.0, bins=4).to_pandas()
         assert got["mi"].iloc[0] < 0.001
+
+
+class TestGroupedGini:
+    @pytest.mark.parametrize("seed", [45, 101])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import grouped_gini
+        df = _events(seed)
+        got = grouped_gini(
+            ray.data.from_pandas(df), group_col="event_type",
+            value_col="value").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with r as (
+              select event_type, value,
+                     row_number() over (partition by event_type
+                                        order by value) as rn,
+                     count(*) over (partition by event_type) as n,
+                     sum(value) over (partition by event_type) as s
+              from events
+              where value is not null and event_type is not null)
+            select event_type,
+                   case when any_value(s) != 0 then
+                       sum((2.0 * rn - n - 1) * value)
+                       / (any_value(n) * any_value(s))
+                   end as gini,
+                   any_value(n)::bigint as n
+            from r group by event_type order by event_type""").df()
+        m = got.merge(exp, on="event_type", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n_g"] == m["n_e"]).all()
+        assert np.isclose(m["gini_g"].to_numpy(),
+                          m["gini_e"].to_numpy(), equal_nan=True).all()
+
+    def test_known_values(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_gini
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["e", "e", "e", "z", "z"], pa.string()),
+            "v": pa.array([1.0, 1.0, 1.0, 0.0, 10.0], pa.float64())}))
+        out = grouped_gini(ds, group_col="g", value_col="v") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        assert np.isclose(out["gini"].iloc[0], 0.0)  # perfectly equal
+        assert np.isclose(out["gini"].iloc[1], 0.5)  # one holds all
+
+    def test_zero_sum_reports_null(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_gini
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a", "a"], pa.string()),
+            "v": pa.array([-1.0, 1.0], pa.float64())}))
+        out = grouped_gini(ds, group_col="g", value_col="v").to_pandas()
+        assert np.isnan(out["gini"].iloc[0])
+
+
+class TestGroupedIqrOutliers:
+    @pytest.mark.parametrize("seed", [49, 103])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import grouped_iqr_outliers
+        df = _events(seed)
+        # heavy tail so fences actually trigger
+        rng = np.random.default_rng(seed + 1)
+        df.loc[rng.choice(len(df), 30, replace=False), "value"] = 5000.0
+        got = grouped_iqr_outliers(
+            ray.data.from_pandas(df), group_col="event_type",
+            value_col="value", id_col="event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with f as (
+              select event_type,
+                     quantile_cont(value, 0.25) as q1,
+                     quantile_cont(value, 0.75) as q3
+              from events
+              where value is not null and event_type is not null
+              group by event_type)
+            select e.event_id, e.event_type, e.value
+            from events e join f using (event_type)
+            where e.value is not null
+              and (e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                   or e.value > f.q3 + 1.5 * (f.q3 - f.q1))
+            order by e.event_id""").df()
+        assert len(got) == len(exp) > 0
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert np.isclose(got["value"].to_numpy(),
+                          exp["value"].to_numpy()).all()
