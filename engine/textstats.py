@@ -662,9 +662,13 @@ def tfidf_topk(ds, *, text_col: str = "text", key_col: str = "doc_id",
                 t["score"] = t["tf"].to_numpy() * np.log(n_docs / d)
                 return _topk_frame(t)
 
+        # autoscaling (1, 4) actor pool, NOT a fixed size: a fixed pool
+        # equal to the cluster CPU count reserves every slot and starves
+        # the upstream read/map tasks — a hard DEADLOCK at num_cpus=4
+        # (observed in-suite); min=1 always leaves room to make progress
         return ds.map_batches(_Score, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size,
-                              concurrency=concurrency or 4)
+                              concurrency=concurrency or (1, 4))
 
     # distributed fall-through: combiner rows join df on token, then a
     # coarse-partition per-doc top-k (in-batch partial first)
