@@ -1759,6 +1759,21 @@ def _q_grouped_iqr_outliers_events(sf_dir: str):
         id_col="event_id").sort("event_id")
 
 
+def _q_spearman_qty_price(sf_dir: str):
+    """Spearman rank correlation of l_quantity vs l_extendedprice —
+    average-rank CDF broadcast + map-only sufficient statistics."""
+    from engine.stats import spearman_corr
+    out = spearman_corr(
+        _read(sf_dir, "lineitem",
+              columns=["l_quantity", "l_extendedprice"]),
+        x_col="l_quantity", y_col="l_extendedprice")
+    r = out.column("spearman_r").to_numpy(zero_copy_only=False)
+    return pa.table({
+        "spearman_r": pa.array([None if np.isnan(v) else float(
+            _round_half_away(v, 6)) for v in r], pa.float64()),
+        "n": out.column("n")})
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1867,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_mutual_information": _q_type_value_mutual_information,
         "value_gini_by_type": _q_value_gini_by_type,
         "grouped_iqr_outliers_events": _q_grouped_iqr_outliers_events,
+        "spearman_qty_price": _q_spearman_qty_price,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2382,6 +2398,24 @@ def oracle_sql() -> dict[str, str]:
                        as mi,
                    sum(n)::bigint as n
             from c join ma using (a) join mb using (b), tot t
+        """,
+        "spearman_qty_price": """
+            with d as (
+              select l_quantity as x, l_extendedprice as y
+              from lineitem
+              where l_quantity is not null
+                and l_extendedprice is not null),
+            r as (
+              select (rank() over (order by x)
+                      + (count(*) over (partition by x) - 1) / 2.0)
+                         as rx,
+                     (rank() over (order by y)
+                      + (count(*) over (partition by y) - 1) / 2.0)
+                         as ry
+              from d)
+            select round(corr(rx, ry), 6) as spearman_r,
+                   count(*)::bigint as n
+            from r
         """,
         "value_gini_by_type": """
             with r as (

@@ -1055,3 +1055,102 @@ def grouped_iqr_outliers(ds, *, group_col: str, value_col: str,
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_flag, batch_format="pandas")
+
+
+def spearman_corr(ds, *, x_col: str, y_col: str,
+                  distinct_limit: int = 4_000_000,
+                  batch_size: int = 65536):
+    """Spearman rank correlation between two numeric columns — Pearson
+    over average (tie-sharing) ranks, the SQL spelling ``corr(rank() +
+    (peers - 1)/2, ...)``. Rows are excluded PAIRWISE (either side
+    NULL); returns ONE row (spearman_r, n), NULL r when n < 2 or a side
+    is constant. Ranks are exact, not sampled.
+
+    Scale shape (the :func:`percentile_rank` pattern, doubled): one
+    corpus pass emits tagged per-batch value counts (value-bounded
+    groupby), the two sorted (value, avg-rank) CDFs broadcast once via
+    ``ray.put`` — gated at ``distinct_limit`` distinct values per side —
+    then a map-only pass resolves both ranks via searchsorted and folds
+    the six sufficient statistics one row per block; no row-level data
+    ever reaches the driver.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _vc(b: pa.Table) -> pa.Table:
+        x = pc.cast(b.column(x_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.cast(b.column(y_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = ~(np.isnan(x) | np.isnan(y))
+        ux, cx = np.unique(x[keep], return_counts=True)
+        uy, cy = np.unique(y[keep], return_counts=True)
+        return pa.table({
+            "tag": pa.array(np.r_[np.zeros(len(ux), np.int8),
+                                  np.ones(len(uy), np.int8)]),
+            "v": pa.array(np.r_[ux, uy], pa.float64()),
+            "c": pa.array(np.r_[cx, cy].astype(np.int64))})
+
+    counts = balance(ds.map_batches(_vc, batch_format="pyarrow",
+                                    zero_copy_batch=True,
+                                    batch_size=batch_size)) \
+        .groupby(["tag", "v"]).aggregate(Sum("c")).materialize()
+    cdf = counts.to_pandas()
+    if not len(cdf):
+        return pa.table({"spearman_r": pa.array([None], pa.float64()),
+                         "n": pa.array([0], pa.int64())})
+
+    def _ranks(sub):
+        sub = sub.sort_values("v")
+        cnt = sub["sum(c)"].to_numpy(np.float64)
+        below = np.concatenate([[0.0], np.cumsum(cnt)[:-1]])
+        return sub["v"].to_numpy(), below + (cnt + 1.0) / 2.0
+
+    per_side = {t: g for t, g in cdf.groupby("tag")}
+    if max(len(g) for g in per_side.values()) > distinct_limit:
+        raise ValueError(
+            f"distinct values exceed distinct_limit={distinct_limit}; "
+            "bucket the columns or sample")
+    vx, arx = _ranks(per_side[0])
+    vy, ary = _ranks(per_side[1])
+    ref = ray.put((vx, arx, vy, ary))
+
+    class _Stats:
+        def __init__(self, r):
+            self.r = r
+            self._s = None
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if self._s is None:
+                self._s = ray.get(self.r) if isinstance(
+                    self.r, ray.ObjectRef) else self.r
+            vx_, arx_, vy_, ary_ = self._s
+            x = pc.cast(b.column(x_col), pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            y = pc.cast(b.column(y_col), pa.float64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = ~(np.isnan(x) | np.isnan(y))
+            rx = arx_[np.searchsorted(vx_, x[keep])]
+            ry = ary_[np.searchsorted(vy_, y[keep])]
+            return pa.table({
+                "n": pa.array([int(keep.sum())], pa.int64()),
+                "sx": pa.array([float(rx.sum())], pa.float64()),
+                "sy": pa.array([float(ry.sum())], pa.float64()),
+                "sxx": pa.array([float((rx * rx).sum())], pa.float64()),
+                "syy": pa.array([float((ry * ry).sum())], pa.float64()),
+                "sxy": pa.array([float((rx * ry).sum())], pa.float64())})
+
+    parts = ds.map_batches(_Stats(ref), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    t = parts.sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = int(t["sum(n)"] or 0)
+    r = None
+    if n >= 2:
+        sx, sy = t["sum(sx)"], t["sum(sy)"]
+        den2 = (n * t["sum(sxx)"] - sx * sx) \
+            * (n * t["sum(syy)"] - sy * sy)
+        if den2 > 0:
+            r = float((n * t["sum(sxy)"] - sx * sy) / np.sqrt(den2))
+    return pa.table({"spearman_r": pa.array([r], pa.float64()),
+                     "n": pa.array([n], pa.int64())})

@@ -386,3 +386,63 @@ class TestGroupedIqrOutliers:
         assert got["event_id"].tolist() == exp["event_id"].tolist()
         assert np.isclose(got["value"].to_numpy(),
                           exp["value"].to_numpy()).all()
+
+
+class TestSpearmanCorr:
+    @pytest.mark.parametrize("seed", [57, 107])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import spearman_corr
+        rng = np.random.default_rng(seed)
+        n = 4000
+        x = rng.integers(0, 40, n).astype(np.float64)  # heavy ties
+        y = x * 2 + rng.normal(0, 20, n).round(1)      # correlated
+        df = pd.DataFrame({"x": x, "y": y})
+        df.loc[rng.choice(n, n // 10, replace=False), "x"] = np.nan
+        df.loc[rng.choice(n, n // 10, replace=False), "y"] = np.nan
+        got = spearman_corr(ray.data.from_pandas(df), x_col="x",
+                            y_col="y").to_pandas()
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute("""
+            with d as (select x, y from t
+                       where x is not null and y is not null),
+            r as (select (rank() over (order by x)
+                          + (count(*) over (partition by x) - 1) / 2.0)
+                             as rx,
+                         (rank() over (order by y)
+                          + (count(*) over (partition by y) - 1) / 2.0)
+                             as ry
+                  from d)
+            select corr(rx, ry) as r, count(*)::bigint as n
+            from r""").df()
+        assert got["n"].iloc[0] == exp["n"].iloc[0] > 0
+        assert np.isclose(got["spearman_r"].iloc[0], exp["r"].iloc[0])
+
+    def test_monotone_is_one(self, ray_session):
+        import ray.data
+        from engine.stats import spearman_corr
+        df = pd.DataFrame({"x": np.arange(100, dtype=np.float64),
+                           "y": np.exp(np.arange(100) / 10.0)})
+        got = spearman_corr(ray.data.from_pandas(df), x_col="x",
+                            y_col="y").to_pandas()
+        assert np.isclose(got["spearman_r"].iloc[0], 1.0)
+
+    def test_constant_side_reports_null(self, ray_session):
+        import ray.data
+        from engine.stats import spearman_corr
+        df = pd.DataFrame({"x": [1.0, 1.0, 1.0],
+                           "y": [1.0, 2.0, 3.0]})
+        got = spearman_corr(ray.data.from_pandas(df), x_col="x",
+                            y_col="y").to_pandas()
+        assert got["n"].iloc[0] == 3
+        assert pd.isna(got["spearman_r"].iloc[0])
+
+    def test_all_null_pairwise(self, ray_session):
+        import ray.data
+        from engine.stats import spearman_corr
+        df = pd.DataFrame({"x": [np.nan, 1.0], "y": [1.0, np.nan]})
+        got = spearman_corr(ray.data.from_pandas(df), x_col="x",
+                            y_col="y").to_pandas()
+        assert got["n"].iloc[0] == 0
+        assert pd.isna(got["spearman_r"].iloc[0])
