@@ -179,6 +179,21 @@ def translate_ecma(pattern: str) -> str:
     groups, closes = _scan_groups(pattern)
     out = []
     in_class = False
+    cls_prev_atom = False   # last class item was an atom able to open a range
+    cls_range_open = False  # a bare range-operator '-' was just emitted
+
+    def _cls_atom(times: int = 1):
+        # advance the class range-state machine past emitted atom(s) —
+        # used to decide whether a later '-' is a range operator (bare)
+        # or a literal/range-end (escaped, see the '-' branch below)
+        nonlocal cls_prev_atom, cls_range_open
+        for _ in range(times):
+            if cls_range_open:
+                cls_range_open = False
+                cls_prev_atom = False
+            else:
+                cls_prev_atom = True
+
     i, n = 0, len(pattern)
     while i < n:
         c = pattern[i]
@@ -221,6 +236,8 @@ def translate_ecma(pattern: str) -> str:
                 else:
                     out.append(_esc_cp(val))
                     i += 1 + used
+                if in_class:
+                    _cls_atom()
                 continue
             if esc == "c":
                 # ECMA \cX control escape (X a letter; Annex B also allows
@@ -234,9 +251,13 @@ def translate_ecma(pattern: str) -> str:
                                                     or nxt == "_")))
                 if is_ctl:
                     out.append(f"\\x{ord(nxt) % 32:02x}")
+                    if in_class:
+                        _cls_atom()
                     i += 3
                 else:
                     out.append("\\\\c")
+                    if in_class:
+                        _cls_atom(2)  # literal backslash + 'c' = two atoms
                     i += 2
                 continue
             if in_class:
@@ -244,6 +265,7 @@ def translate_ecma(pattern: str) -> str:
                 # ranges (see _complement_fragment). Other escapes pass
                 # through unchanged.
                 out.append(_CLASS_EXPANSIONS.get(esc) or pattern[i:i + 2])
+                _cls_atom()
             else:
                 out.append(_TOP_EXPANSIONS.get(esc) or pattern[i:i + 2])
             i += 2
@@ -257,10 +279,40 @@ def translate_ecma(pattern: str) -> str:
                 # warns "Possible nested set" on "[[" (a future hard
                 # error) — emit it escaped. Same match semantics.
                 out.append("\\[")
+                _cls_atom()
+            elif c == "-":
+                # Python's re warns (future hard error) on '--', and the
+                # warn-free spellings are exact: a range-END '-' and a
+                # LITERAL '-' both escape to '\-' (same parse), while a
+                # range OPERATOR '-' stays bare. The state machine
+                # mirrors sre's rule: an atom followed by '-' whose next
+                # char isn't ']' opens a range.
+                nxt = pattern[i + 1] if i + 1 < n else ""
+                if cls_range_open:
+                    out.append("\\-")  # the END atom of an open range
+                    cls_range_open = False
+                    cls_prev_atom = False
+                elif cls_prev_atom and nxt and nxt != "]":
+                    out.append("-")    # range operator
+                    cls_range_open = True
+                    cls_prev_atom = False
+                else:
+                    out.append("\\-")  # literal (can still open a range)
+                    cls_prev_atom = True
+            elif c in "|&~":
+                # always-literal in a class for both engines; escaping
+                # kills the '||' / '&&' / '~~' future-set-op warnings
+                out.append("\\" + c)
+                _cls_atom()
+            elif c == "^" and out and out[-1] == "[":
+                out.append(c)  # negation marker, not an atom
             else:
                 out.append(c)
+                _cls_atom()
         elif c == "[":
             in_class = True
+            cls_prev_atom = False
+            cls_range_open = False
             out.append(c)
         elif c == "$":
             out.append(r"\Z")
@@ -279,11 +331,23 @@ def translate_ecma(pattern: str) -> str:
 
 @lru_cache(maxsize=4096)
 def compile_ecma(pattern: str) -> Optional[re.Pattern]:
-    """Compile an ECMA pattern for search semantics; None when invalid."""
+    """Compile an ECMA pattern for search semantics; None when invalid.
+
+    Warnings are recorded and re-emitted only when the compile SUCCEEDS:
+    a pattern this function rejects (returns None, a data-level error
+    upstream) must not spam FutureWarnings from the failed parse — the
+    translator already emits warn-free spellings for every construct a
+    VALID pattern can contain (see the class range-state machine)."""
+    import warnings
     try:
-        return re.compile(translate_ecma(pattern))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            rx = re.compile(translate_ecma(pattern))
     except re.error:
         return None
+    for w in caught:  # pragma: no cover - valid patterns compile clean
+        warnings.warn_explicit(w.message, w.category, w.filename, w.lineno)
+    return rx
 
 
 def re2_safe(pattern: str) -> bool:
