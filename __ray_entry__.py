@@ -1774,6 +1774,53 @@ def _q_spearman_qty_price(sf_dir: str):
         "n": out.column("n")})
 
 
+def _q_corr_matrix_lineitem(sf_dir: str):
+    """All pairwise Pearson correlations of the four lineitem measures
+    in ONE corpus pass (pairwise NULL exclusion)."""
+    from engine.stats import corr_matrix
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = corr_matrix(_read(sf_dir, "lineitem", columns=cols), cols=cols)
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(b.column("r").to_numpy(zero_copy_only=False),
+                             6)
+        return pa.table({
+            "col_x": b.column("col_x"), "col_y": b.column("col_y"),
+            "r": pa.array([None if np.isnan(x) else float(x) for x in v],
+                          pa.float64()),
+            "n": b.column("n")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["col_x", "col_y"])
+
+
+def _q_daily_event_counts_dense(sf_dir: str):
+    """Gap-filled daily event counts (generate_series LEFT JOIN parity;
+    zero-days present)."""
+    from engine.relational import dense_daily_counts
+    return dense_daily_counts(
+        _read(sf_dir, "events", columns=["ts"])).sort("day")
+
+
+def _q_session_duration_stats(sf_dir: str):
+    """Per-user session count and mean/max session duration under the
+    30-minute gap sessionizer."""
+    from engine.relational import session_duration_stats
+    out = session_duration_stats(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        def _col(name):
+            v = _round_half_away(
+                b.column(name).to_numpy(zero_copy_only=False), 4)
+            return pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64())
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_sessions": b.column("n_sessions"),
+                         "avg_session_s": _col("avg_session_s"),
+                         "max_session_s": _col("max_session_s")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1883,6 +1930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini_by_type": _q_value_gini_by_type,
         "grouped_iqr_outliers_events": _q_grouped_iqr_outliers_events,
         "spearman_qty_price": _q_spearman_qty_price,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
+        "daily_event_counts_dense": _q_daily_event_counts_dense,
+        "session_duration_stats": _q_session_duration_stats,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2416,6 +2466,79 @@ def oracle_sql() -> dict[str, str]:
             select round(corr(rx, ry), 6) as spearman_r,
                    count(*)::bigint as n
             from r
+        """,
+        "corr_matrix_lineitem": """
+            with p as (
+              select 'l_quantity' as col_x, 'l_extendedprice' as col_y,
+                     corr(l_quantity, l_extendedprice) as r,
+                     count(*) filter (l_quantity is not null and
+                                      l_extendedprice is not null) as n
+              from lineitem
+              union all
+              select 'l_quantity', 'l_discount',
+                     corr(l_quantity, l_discount),
+                     count(*) filter (l_quantity is not null and
+                                      l_discount is not null)
+              from lineitem
+              union all
+              select 'l_quantity', 'l_tax', corr(l_quantity, l_tax),
+                     count(*) filter (l_quantity is not null and
+                                      l_tax is not null)
+              from lineitem
+              union all
+              select 'l_extendedprice', 'l_discount',
+                     corr(l_extendedprice, l_discount),
+                     count(*) filter (l_extendedprice is not null and
+                                      l_discount is not null)
+              from lineitem
+              union all
+              select 'l_extendedprice', 'l_tax',
+                     corr(l_extendedprice, l_tax),
+                     count(*) filter (l_extendedprice is not null and
+                                      l_tax is not null)
+              from lineitem
+              union all
+              select 'l_discount', 'l_tax', corr(l_discount, l_tax),
+                     count(*) filter (l_discount is not null and
+                                      l_tax is not null)
+              from lineitem)
+            select col_x, col_y, round(r, 6) as r, n::bigint as n
+            from p order by col_x, col_y
+        """,
+        "daily_event_counts_dense": """
+            with c as (
+              select date_trunc('day', ts) as day, count(*)::bigint as n
+              from events where ts is not null group by day),
+            b as (select min(day) as lo, max(day) as hi from c),
+            cal as (select unnest(generate_series(lo, hi,
+                                                  interval 1 day)) as day
+                    from b)
+            select cal.day, coalesce(c.n, 0)::bigint as n
+            from cal left join c using (day) order by day
+        """,
+        "session_duration_stats": """
+            with e as (
+              select user_id, ts from events
+              where ts is not null and user_id is not null),
+            m as (
+              select user_id, ts,
+                     case when lag(ts) over w is null
+                               or ts - lag(ts) over w
+                                  > interval 30 minutes
+                          then 1 else 0 end as new_s
+              from e window w as (partition by user_id order by ts)),
+            s as (
+              select user_id, ts,
+                     sum(new_s) over (partition by user_id order by ts
+                         rows unbounded preceding) as sid
+              from m),
+            d as (
+              select user_id, sid, epoch(max(ts) - min(ts)) as dur
+              from s group by user_id, sid)
+            select user_id, count(*)::bigint as n_sessions,
+                   round(avg(dur), 4) as avg_session_s,
+                   round(max(dur), 4) as max_session_s
+            from d group by user_id order by user_id
         """,
         "value_gini_by_type": """
             with r as (

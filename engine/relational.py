@@ -2532,3 +2532,115 @@ def collect_distinct_sorted(ds, *, key_col: str = "user_id",
     return ds.map_batches(_distinct, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_collect, batch_format="pandas")
+
+
+def dense_daily_counts(ds, *, ts_col: str = "ts",
+                       batch_size: int = 65536):
+    """Gap-filled daily event counts — every calendar day between the
+    corpus min and max day appears, zero-days included (``generate_series
+    LEFT JOIN`` parity). NULL-ts rows drop. Returns (day, n).
+
+    Scale shape: per-batch day-count combiners bound the shuffle at
+    days x blocks tiny rows; the dense reindex runs worker-side over ONE
+    coalesced block (the aggregate is days-bounded — a century is ~37k
+    rows), never on the driver.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if ts_col not in df.columns or not len(df):
+            return pd.DataFrame({"day": pd.array([], "datetime64[us]"),
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna(), [ts_col]]
+        g = sub[ts_col].dt.floor("D").value_counts().sort_index()
+        return pd.DataFrame({"day": g.index.to_numpy(),
+                             "n": g.to_numpy(np.int64)})
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby("day").aggregate(Sum("n"))
+
+    def _dense(df):
+        if "day" not in df.columns or not len(df):
+            return pd.DataFrame({"day": pd.array([], "datetime64[us]"),
+                                 "n": pd.array([], dtype="int64")})
+        df = df.sort_values("day")
+        cal = pd.date_range(df["day"].iloc[0], df["day"].iloc[-1],
+                            freq="D")
+        s = df.set_index("day")["sum(n)"].reindex(cal, fill_value=0)
+        # date_range yields ns-resolution; the corpus (and the SQL
+        # mirror) are us — pin the output resolution to match
+        return pd.DataFrame({
+            "day": s.index.to_numpy().astype("datetime64[us]"),
+            "n": s.to_numpy(np.int64)})
+
+    res = agg.repartition(1).map_batches(
+        _dense, batch_format="pandas", batch_size=None).materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"day": pa.array([], pa.timestamp("us")),
+             "n": pa.array([], pa.int64())}))
+    return res
+
+
+def session_duration_stats(ds, *, key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           gap_seconds: float = 30 * 60,
+                           batch_size: int = 65536):
+    """Per-key session-duration profile under a gap-based sessionizer:
+    session count, mean and max session duration in seconds (a
+    single-event session lasts 0). Sessions break when consecutive
+    events are more than ``gap_seconds`` apart — tie timestamps always
+    share a session, so the stats are tie-order invariant. NULL keys /
+    NULL timestamps drop (oracle mirrors IS NOT NULL). Returns
+    (key, n_sessions, avg_session_s, max_session_s).
+
+    Scale shape: whole keys co-locate on P coarse hash partitions (only
+    (key, ts) rows shuffle once); session ids come from one sort +
+    boundary cumsum, durations from a grouped min/max — no per-key
+    loop.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _part(df):
+        out = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _stats(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                key_col: [],
+                "n_sessions": pd.array([], dtype="int64"),
+                "avg_session_s": [], "max_session_s": []})
+        sub = df.sort_values([key_col, ts_col],
+                             kind="mergesort").reset_index(drop=True)
+        keys = sub[key_col].to_numpy()
+        ts = sub[ts_col].to_numpy()
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        gap = np.r_[np.timedelta64(0, "s"), np.diff(ts)] \
+            > np.timedelta64(int(gap_seconds * 1e6), "us")
+        sid = np.cumsum(new_key | gap)  # global session ordinal
+        f = pd.DataFrame({key_col: keys, "sid": sid, "ts": sub[ts_col]})
+        per = f.groupby("sid", sort=False).agg(
+            k=(key_col, "first"), lo=("ts", "min"), hi=("ts", "max"))
+        dur = (per["hi"] - per["lo"]).dt.total_seconds()
+        g = dur.groupby(per["k"], sort=False)
+        out = pd.DataFrame({
+            "n_sessions": g.size().to_numpy(np.int64),
+            "avg_session_s": g.mean().to_numpy(np.float64),
+            "max_session_s": g.max().to_numpy(np.float64)})
+        out.insert(0, key_col, g.size().index.to_numpy())
+        return out
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_stats, batch_format="pandas")

@@ -1154,3 +1154,79 @@ def spearman_corr(ds, *, x_col: str, y_col: str,
             r = float((n * t["sum(sxy)"] - sx * sy) / np.sqrt(den2))
     return pa.table({"spearman_r": pa.array([r], pa.float64()),
                      "n": pa.array([n], pa.int64())})
+
+
+def corr_matrix(ds, *, cols: Sequence[str], batch_size=None):
+    """All pairwise Pearson correlations between numeric columns in ONE
+    corpus pass — ``corr(x, y)`` per unordered pair with SQL's PAIRWISE
+    NULL exclusion (each pair keeps rows where BOTH sides are non-NULL).
+    Returns (col_x, col_y, r, n) with col_x < col_y; r is NULL when
+    n < 2 or either side is constant.
+
+    Scale shape: each block collapses to C(k, 2) sufficient-statistic
+    rows (n, sx, sy, sxx, syy, sxy) inside ``map_batches``, so the
+    shuffle is pairs x blocks rows regardless of corpus size; the final
+    divide is a pairs-bounded groupby.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def _partial(df):
+        rows = {"col_x": [], "col_y": [], "n": [], "sx": [], "sy": [],
+                "sxx": [], "syy": [], "sxy": []}
+        if not len(df) or cols[0] not in df.columns:
+            out = pd.DataFrame(rows)
+            out["n"] = out["n"].astype(np.int64)
+            return out
+        arr = {c: df[c].to_numpy(np.float64) for c in cols}
+        for a, b in pairs:
+            x, y = arr[a], arr[b]
+            keep = ~(np.isnan(x) | np.isnan(y))
+            xs, ys = x[keep], y[keep]
+            rows["col_x"].append(a)
+            rows["col_y"].append(b)
+            rows["n"].append(int(keep.sum()))
+            rows["sx"].append(float(xs.sum()))
+            rows["sy"].append(float(ys.sum()))
+            rows["sxx"].append(float((xs * xs).sum()))
+            rows["syy"].append(float((ys * ys).sum()))
+            rows["sxy"].append(float((xs * ys).sum()))
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(["col_x", "col_y"]).aggregate(
+        Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("syy"),
+        Sum("sxy"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = b.column("sum(sx)").to_numpy(zero_copy_only=False)
+        sy = b.column("sum(sy)").to_numpy(zero_copy_only=False)
+        sxx = b.column("sum(sxx)").to_numpy(zero_copy_only=False)
+        syy = b.column("sum(syy)").to_numpy(zero_copy_only=False)
+        sxy = b.column("sum(sxy)").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            r = np.where((n >= 2) & (den2 > 0),
+                         (n * sxy - sx * sy) / np.sqrt(den2), np.nan)
+        return pa.table({
+            "col_x": b.column("col_x"), "col_y": b.column("col_y"),
+            "r": pa.array([None if np.isnan(v) else float(v)
+                           for v in r], pa.float64()),
+            "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"col_x": pa.array([], pa.string()),
+             "col_y": pa.array([], pa.string()),
+             "r": pa.array([], pa.float64()),
+             "n": pa.array([], pa.int64())}))
+    return res

@@ -446,3 +446,140 @@ class TestSpearmanCorr:
                             y_col="y").to_pandas()
         assert got["n"].iloc[0] == 0
         assert pd.isna(got["spearman_r"].iloc[0])
+
+
+class TestCorrMatrix:
+    @pytest.mark.parametrize("seed", [63, 109])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import corr_matrix
+        rng = np.random.default_rng(seed)
+        n = 3000
+        a = rng.normal(size=n)
+        df = pd.DataFrame({"a": a, "b": a * 0.5 + rng.normal(size=n),
+                           "c": rng.normal(size=n)})
+        df.loc[rng.choice(n, n // 8, replace=False), "a"] = np.nan
+        df.loc[rng.choice(n, n // 8, replace=False), "b"] = np.nan
+        got = corr_matrix(ray.data.from_pandas(df),
+                          cols=["a", "b", "c"]).to_pandas() \
+            .sort_values(["col_x", "col_y"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute("""
+            select 'a' as col_x, 'b' as col_y, corr(a, b) as r,
+                   count(*) filter (a is not null and b is not null) as n
+            from t
+            union all select 'a', 'c', corr(a, c),
+                   count(*) filter (a is not null and c is not null)
+            from t
+            union all select 'b', 'c', corr(b, c),
+                   count(*) filter (b is not null and c is not null)
+            from t order by col_x, col_y""").df()
+        assert got["col_x"].tolist() == exp["col_x"].tolist()
+        assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+        assert np.isclose(got["r"].to_numpy(), exp["r"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_constant_column_null_r(self, ray_session):
+        import ray.data
+        from engine.stats import corr_matrix
+        df = pd.DataFrame({"a": [1.0, 1.0, 1.0], "b": [1.0, 2.0, 3.0]})
+        got = corr_matrix(ray.data.from_pandas(df),
+                          cols=["a", "b"]).to_pandas()
+        assert pd.isna(got["r"].iloc[0])
+        assert got["n"].iloc[0] == 3
+
+
+class TestDenseDailyCounts:
+    @pytest.mark.parametrize("seed", [69])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import dense_daily_counts
+        df = _events(seed)
+        got = dense_daily_counts(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with c as (select date_trunc('day', ts) as day,
+                              count(*)::bigint as n
+                       from events where ts is not null group by day),
+            b as (select min(day) as lo, max(day) as hi from c),
+            cal as (select unnest(generate_series(lo, hi,
+                                                  interval 1 day)) as day
+                    from b)
+            select cal.day, coalesce(c.n, 0)::bigint as n
+            from cal left join c using (day) order by day""").df()
+        assert len(got) == len(exp)
+        assert (got["day"].to_numpy() == exp["day"].to_numpy()).all()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_gap_days_are_zero(self, ray_session):
+        import ray.data
+        from engine.relational import dense_daily_counts
+        df = pd.DataFrame({"ts": pd.to_datetime(
+            ["2021-01-01 10:00", "2021-01-04 09:00",
+             "2021-01-04 11:00"])})
+        got = dense_daily_counts(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        assert len(got) == 4
+        assert got["n"].tolist() == [1, 0, 0, 2]
+
+    def test_empty_input_typed(self, ray_session):
+        import ray.data
+        from engine.relational import dense_daily_counts
+        df = pd.DataFrame({"ts": pd.to_datetime([pd.NaT])})
+        out = dense_daily_counts(ray.data.from_pandas(df))
+        assert out.count() == 0
+        assert out.schema().base_schema.field("n").type == pa.int64()
+
+
+class TestSessionDurationStats:
+    @pytest.mark.parametrize("seed", [75, 113])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import session_duration_stats
+        df = _events(seed)
+        got = session_duration_stats(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with e as (select user_id, ts from events
+                       where ts is not null and user_id is not null),
+            m as (select user_id, ts,
+                         case when lag(ts) over w is null
+                                   or ts - lag(ts) over w
+                                      > interval 30 minutes
+                              then 1 else 0 end as new_s
+                  from e window w as (partition by user_id order by ts)),
+            s as (select user_id, ts,
+                         sum(new_s) over (partition by user_id
+                             order by ts rows unbounded preceding)
+                             as sid
+                  from m),
+            d as (select user_id, sid, epoch(max(ts) - min(ts)) as dur
+                  from s group by user_id, sid)
+            select user_id, count(*)::bigint as n_sessions,
+                   avg(dur) as avg_session_s, max(dur) as max_session_s
+            from d group by user_id order by user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n_sessions_g"] == m["n_sessions_e"]).all()
+        for c in ("avg_session_s", "max_session_s"):
+            assert np.isclose(m[c + "_g"].to_numpy(),
+                              m[c + "_e"].to_numpy(),
+                              equal_nan=True).all()
+
+    def test_single_event_sessions_last_zero(self, ray_session):
+        import ray.data
+        from engine.relational import session_duration_stats
+        df = pd.DataFrame({
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(["2021-01-01 00:00",
+                                  "2021-01-01 02:00",
+                                  "2021-01-01 00:00"])})
+        got = session_duration_stats(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got["n_sessions"].tolist() == [2, 1]
+        assert got["avg_session_s"].tolist() == [0.0, 0.0]
