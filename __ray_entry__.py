@@ -1821,6 +1821,34 @@ def _q_session_duration_stats(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUPING SETS rollup of event counts over (event_type, day) —
+    one corpus pass; coarser grains derive from the bounded fine
+    contingency."""
+    from engine.relational import rollup_counts
+    return rollup_counts(
+        _read(sf_dir, "events", columns=["event_type", "ts"])) \
+        .sort(["lvl", "event_type", "day"])
+
+
+def _q_activity_heatmap(sf_dir: str):
+    """Day-of-week x hour-of-day event counts (calendar heatmap,
+    DuckDB dayofweek parity)."""
+    from engine.relational import activity_heatmap
+    return activity_heatmap(_read(sf_dir, "events", columns=["ts"])) \
+        .sort(["dow", "hod"])
+
+
+def _q_doc_length_quartiles_by_lang(sf_dir: str):
+    """Per-language equal-frequency length quartile of every document
+    (in-partition exact fences)."""
+    from engine.stats import grouped_quantile_buckets
+    return grouped_quantile_buckets(
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]),
+        group_col="lang", value_col="n_chars",
+        id_col="doc_id").sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1933,6 +1961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
         "daily_event_counts_dense": _q_daily_event_counts_dense,
         "session_duration_stats": _q_session_duration_stats,
+        "events_rollup": _q_events_rollup,
+        "activity_heatmap": _q_activity_heatmap,
+        "doc_length_quartiles_by_lang": _q_doc_length_quartiles_by_lang,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2539,6 +2570,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dur), 4) as avg_session_s,
                    round(max(dur), 4) as max_session_s
             from d group by user_id order by user_id
+        """,
+        "events_rollup": """
+            select grouping_id(event_type,
+                               strftime(ts, '%Y-%m-%d'))::bigint as lvl,
+                   event_type, strftime(ts, '%Y-%m-%d') as day,
+                   count(*)::bigint as n
+            from events
+            where ts is not null and event_type is not null
+            group by grouping sets
+                ((event_type, strftime(ts, '%Y-%m-%d')),
+                 (event_type), (strftime(ts, '%Y-%m-%d')), ())
+            order by lvl, event_type nulls last, day nulls last
+        """,
+        "activity_heatmap": """
+            select dayofweek(ts)::bigint as dow, hour(ts)::bigint as hod,
+                   count(*)::bigint as n
+            from events where ts is not null
+            group by dow, hod order by dow, hod
+        """,
+        "doc_length_quartiles_by_lang": """
+            with f as (
+              select lang,
+                     quantile_cont(n_chars, 0.25) as q1,
+                     quantile_cont(n_chars, 0.5) as q2,
+                     quantile_cont(n_chars, 0.75) as q3
+              from documents
+              where n_chars is not null and lang is not null
+              group by lang)
+            select d.doc_id, d.lang,
+                   cast(1 + cast(d.n_chars > f.q1 as int)
+                          + cast(d.n_chars > f.q2 as int)
+                          + cast(d.n_chars > f.q3 as int) as bigint)
+                       as bucket
+            from documents d join f using (lang)
+            where d.n_chars is not null
+            order by doc_id
         """,
         "value_gini_by_type": """
             with r as (

@@ -2644,3 +2644,123 @@ def session_duration_stats(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_stats, batch_format="pandas")
+
+
+def rollup_counts(ds, *, group_col: str = "event_type",
+                  ts_col: str = "ts", batch_size: int = 65536):
+    """GROUPING SETS rollup of event counts over (group, day):
+    ``GROUP BY GROUPING SETS ((g, day), (g), (day), ())`` parity with
+    ``lvl = grouping_id(g, day)`` (0=fine, 1=per-group, 2=per-day,
+    3=grand total). NULL groups / NULL ts drop; the day is reported as
+    a 'YYYY-MM-DD' string (NULL at the coarser grains). Returns
+    (lvl, group, day, n).
+
+    Scale shape: ONE corpus pass builds the fine (group, day) contingency
+    (in-batch combiner, bounded by groups x days); every coarser grain
+    derives from that bounded aggregate with small worker-side groupbys
+    and a union — the corpus is never re-read or re-shuffled per grain.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "day": [],
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[group_col].notna(),
+                     [group_col, ts_col]]
+        g = pd.DataFrame({
+            group_col: sub[group_col],
+            "day": sub[ts_col].dt.strftime("%Y-%m-%d")}) \
+            .groupby([group_col, "day"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    fine = balance(ds.map_batches(_partial, batch_format="pandas",
+                                  batch_size=batch_size)) \
+        .groupby([group_col, "day"]).aggregate(Sum("n")).materialize()
+
+    def _typed(lvl, g, day, n):
+        return pa.table({
+            "lvl": pa.array(lvl, pa.int64()),
+            group_col: pa.array(g, pa.string()),
+            "day": pa.array(day, pa.string()),
+            "n": pa.array(n, pa.int64())})
+
+    if fine.count() == 0:
+        return ray.data.from_arrow(_typed([], [], [], []))
+
+    def _lvl0(b: pa.Table) -> pa.Table:
+        return _typed([0] * b.num_rows,
+                      b.column(group_col).to_pylist(),
+                      b.column("day").to_pylist(),
+                      b.column("sum(n)").to_pylist())
+
+    def _lvl1(b: pa.Table) -> pa.Table:
+        return _typed([1] * b.num_rows,
+                      b.column(group_col).to_pylist(),
+                      [None] * b.num_rows,
+                      b.column("sum(sum(n))").to_pylist())
+
+    def _lvl2(b: pa.Table) -> pa.Table:
+        return _typed([2] * b.num_rows, [None] * b.num_rows,
+                      b.column("day").to_pylist(),
+                      b.column("sum(sum(n))").to_pylist())
+
+    full = fine.map_batches(_lvl0, batch_format="pyarrow")
+    by_g = fine.groupby(group_col).aggregate(Sum("sum(n)")) \
+        .map_batches(_lvl1, batch_format="pyarrow")
+    by_d = fine.groupby("day").aggregate(Sum("sum(n)")) \
+        .map_batches(_lvl2, batch_format="pyarrow")
+    total = ray.data.from_arrow(_typed(
+        [3], [None], [None], [int(fine.sum("sum(n)"))]))
+    return full.union(by_g).union(by_d).union(total)
+
+
+def activity_heatmap(ds, *, ts_col: str = "ts",
+                     batch_size: int = 65536):
+    """Day-of-week x hour-of-day event counts — the calendar heatmap
+    (dow 0=Sunday..6, DuckDB ``dayofweek`` parity; pandas Monday-based
+    weekday is shifted to match). NULL-ts rows drop. Returns
+    (dow, hod, n), only non-empty cells (at most 168 rows).
+
+    Scale shape: per-batch 2-key combiner -> a 168-cell groupby-sum; the
+    corpus never shuffles.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if ts_col not in df.columns or not len(df):
+            return pd.DataFrame({"dow": pd.array([], dtype="int64"),
+                                 "hod": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna(), [ts_col]]
+        g = pd.DataFrame({
+            "dow": ((sub[ts_col].dt.dayofweek + 1) % 7).astype(np.int64),
+            "hod": sub[ts_col].dt.hour.astype(np.int64)}) \
+            .groupby(["dow", "hod"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(["dow", "hod"]).aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"dow": b.column("dow"), "hod": b.column("hod"),
+                         "n": b.column("sum(n)")})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"dow": pa.array([], pa.int64()),
+             "hod": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}))
+    return res

@@ -1230,3 +1230,47 @@ def corr_matrix(ds, *, cols: Sequence[str], batch_size=None):
              "r": pa.array([], pa.float64()),
              "n": pa.array([], pa.int64())}))
     return res
+
+
+def grouped_quantile_buckets(ds, *, group_col: str, value_col: str,
+                             id_col: str, batch_size: int = 65536):
+    """Equal-frequency quartile bucket (1..4) of each row WITHIN its
+    group — per-group exact linear-interpolated fences
+    (``quantile_cont`` parity), bucket = 1 + (v > q1) + (v > q2) +
+    (v > q3). NULL values / NULL groups drop. Returns
+    (id, group, bucket). The global sibling is :func:`quantile_buckets`.
+
+    Scale shape: one shuffle co-locates whole groups on P coarse hash
+    partitions; fences are computed IN the partition (grouped
+    ``transform('quantile')``, one call per group) and the bucket assign
+    happens in the same vectorized pass — no fence join or broadcast.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, group_col, value_col]
+
+    def _part(df):
+        out = df[cols].dropna(subset=[group_col, value_col]).copy()
+        out["part"] = (hash64(out[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _assign(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], group_col: [],
+                                 "bucket": pd.array([], dtype="int64")})
+        g = df.groupby(group_col, sort=False)[value_col]
+        v = df[value_col].to_numpy(np.float64)
+        bucket = np.ones(len(df), dtype=np.int64)
+        for q in (0.25, 0.5, 0.75):
+            bucket += (v > g.transform("quantile", q)
+                       .to_numpy(np.float64)).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             group_col: df[group_col].to_numpy(),
+                             "bucket": bucket})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_assign, batch_format="pandas")

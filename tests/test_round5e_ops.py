@@ -1,0 +1,151 @@
+"""Round-5 fifth batch: GROUPING SETS rollup, calendar heatmap, and
+per-group quantile bucketing — randomized differentials vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(seed, n=3000, keys=60):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "user_id": rng.integers(0, keys, n),
+        "event_type": rng.choice(["click", "view", "purchase", None], n,
+                                 p=[0.4, 0.3, 0.2, 0.1]),
+        "ts": pd.to_datetime("2020-01-01") + pd.to_timedelta(
+            rng.integers(0, 3600 * 24 * 14, n), unit="s"),
+        "value": rng.uniform(-10, 110, n).round(3)})
+    df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+    df.loc[rng.choice(n, n // 30, replace=False), "ts"] = pd.NaT
+    return df
+
+
+class TestRollupCounts:
+    @pytest.mark.parametrize("seed", [81, 117])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import rollup_counts
+        df = _events(seed)
+        got = rollup_counts(ray.data.from_pandas(df)).to_pandas()
+        got = got.sort_values(
+            ["lvl", "event_type", "day"], na_position="last") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select grouping_id(event_type,
+                               strftime(ts, '%Y-%m-%d'))::bigint as lvl,
+                   event_type, strftime(ts, '%Y-%m-%d') as day,
+                   count(*)::bigint as n
+            from events
+            where ts is not null and event_type is not null
+            group by grouping sets
+                ((event_type, strftime(ts, '%Y-%m-%d')),
+                 (event_type), (strftime(ts, '%Y-%m-%d')), ())
+            order by lvl, event_type nulls last, day nulls last""").df()
+        assert len(got) == len(exp)
+        assert got["lvl"].tolist() == exp["lvl"].tolist()
+        assert got["event_type"].fillna("~").tolist() \
+            == exp["event_type"].fillna("~").tolist()
+        assert got["day"].fillna("~").tolist() \
+            == exp["day"].fillna("~").tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_grand_total_equals_rows(self, ray_session):
+        import ray.data
+        from engine.relational import rollup_counts
+        df = _events(3)
+        kept = int((df["ts"].notna() & df["event_type"].notna()).sum())
+        got = rollup_counts(ray.data.from_pandas(df)).to_pandas()
+        assert int(got.loc[got["lvl"] == 3, "n"].iloc[0]) == kept
+
+    def test_empty_typed(self, ray_session):
+        import ray.data
+        from engine.relational import rollup_counts
+        df = pd.DataFrame({"event_type": pd.array([None], dtype=object),
+                           "ts": pd.to_datetime([pd.NaT])})
+        out = rollup_counts(ray.data.from_pandas(df))
+        assert out.count() == 0
+        assert out.schema().base_schema.field("lvl").type == pa.int64()
+
+
+class TestActivityHeatmap:
+    @pytest.mark.parametrize("seed", [85])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import activity_heatmap
+        df = _events(seed)
+        got = activity_heatmap(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values(["dow", "hod"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select dayofweek(ts)::bigint as dow,
+                   hour(ts)::bigint as hod, count(*)::bigint as n
+            from events where ts is not null
+            group by dow, hod order by dow, hod""").df()
+        assert got["dow"].tolist() == exp["dow"].tolist()
+        assert got["hod"].tolist() == exp["hod"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_known_day(self, ray_session):
+        import ray.data
+        from engine.relational import activity_heatmap
+        # 2024-01-01 is a Monday -> DuckDB dayofweek == 1
+        df = pd.DataFrame({"ts": pd.to_datetime(
+            ["2024-01-01 05:00", "2024-01-07 23:00"])})  # Mon, Sun
+        got = activity_heatmap(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values(["dow", "hod"]).reset_index(drop=True)
+        assert got["dow"].tolist() == [0, 1]   # Sunday=0, Monday=1
+        assert got["hod"].tolist() == [23, 5]
+
+
+class TestGroupedQuantileBuckets:
+    @pytest.mark.parametrize("seed", [91, 119])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import grouped_quantile_buckets
+        df = _events(seed)
+        got = grouped_quantile_buckets(
+            ray.data.from_pandas(df), group_col="event_type",
+            value_col="value", id_col="event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with f as (
+              select event_type,
+                     quantile_cont(value, 0.25) as q1,
+                     quantile_cont(value, 0.5) as q2,
+                     quantile_cont(value, 0.75) as q3
+              from events
+              where value is not null and event_type is not null
+              group by event_type)
+            select e.event_id, e.event_type,
+                   cast(1 + cast(e.value > f.q1 as int)
+                          + cast(e.value > f.q2 as int)
+                          + cast(e.value > f.q3 as int) as bigint)
+                       as bucket
+            from events e join f using (event_type)
+            where e.value is not null
+            order by event_id""").df()
+        assert len(got) == len(exp)
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert got["bucket"].tolist() == exp["bucket"].tolist()
+
+    def test_buckets_balanced(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_quantile_buckets
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({
+            "event_id": np.arange(400, dtype=np.int64),
+            "event_type": ["a"] * 200 + ["b"] * 200,
+            "value": rng.permutation(400).astype(np.float64)})
+        got = grouped_quantile_buckets(
+            ray.data.from_pandas(df), group_col="event_type",
+            value_col="value", id_col="event_id").to_pandas()
+        counts = got.groupby(["event_type", "bucket"]).size()
+        assert set(counts.to_numpy().tolist()) == {50}
