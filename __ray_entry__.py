@@ -1849,6 +1849,45 @@ def _q_doc_length_quartiles_by_lang(sf_dir: str):
         id_col="doc_id").sort("doc_id")
 
 
+def _q_user_hour_entropy(sf_dir: str):
+    """Per-user hour-of-day activity entropy (behavioral regularity
+    feature)."""
+    from engine.relational import user_hour_entropy
+    out = user_hour_entropy(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("hour_entropy").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "hour_entropy": pa.array(
+                [None if np.isnan(x) else float(x) for x in v],
+                pa.float64()),
+            "n_events": b.column("n_events")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
+def _q_value_mad_by_type(sf_dir: str):
+    """Per-event-type median absolute deviation of value (robust spread
+    profile)."""
+    from engine.stats import grouped_mad
+    out = grouped_mad(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        group_col="event_type", value_col="value")
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("mad").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "mad": pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64()),
+            "n": b.column("n")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("event_type")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -1964,6 +2003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "activity_heatmap": _q_activity_heatmap,
         "doc_length_quartiles_by_lang": _q_doc_length_quartiles_by_lang,
+        "user_hour_entropy": _q_user_hour_entropy,
+        "value_mad_by_type": _q_value_mad_by_type,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2606,6 +2647,33 @@ def oracle_sql() -> dict[str, str]:
             from documents d join f using (lang)
             where d.n_chars is not null
             order by doc_id
+        """,
+        "user_hour_entropy": """
+            with c as (
+              select user_id, hour(ts) as hod, count(*)::double as n
+              from events
+              where ts is not null and user_id is not null
+              group by user_id, hod),
+            t as (select user_id, sum(n) as tot from c group by user_id)
+            select c.user_id,
+                   round(-sum((n / tot) * ln(n / tot)), 6)
+                       as hour_entropy,
+                   sum(n)::bigint as n_events
+            from c join t using (user_id)
+            group by c.user_id order by c.user_id
+        """,
+        "value_mad_by_type": """
+            with m as (
+              select event_type, median(value) as med
+              from events
+              where value is not null and event_type is not null
+              group by event_type)
+            select e.event_type,
+                   round(median(abs(e.value - m.med)), 6) as mad,
+                   count(*)::bigint as n
+            from events e join m using (event_type)
+            where e.value is not null
+            group by e.event_type order by e.event_type
         """,
         "value_gini_by_type": """
             with r as (

@@ -2764,3 +2764,61 @@ def activity_heatmap(ds, *, ts_col: str = "ts",
              "hod": pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}))
     return res
+
+
+def user_hour_entropy(ds, *, key_col: str = "user_id",
+                      ts_col: str = "ts", batch_size: int = 65536):
+    """Per-key Shannon entropy (nats) of the hour-of-day activity
+    distribution — the behavioral-regularity feature (a bot posting
+    every hour scores ln(24); a 9-to-5 human scores much lower). NULL
+    keys / NULL ts drop. Returns (key, hour_entropy, n_events).
+
+    Scale shape: the per-batch (key, hour) count combiner bounds the
+    shuffle at 24 rows per key per block; the per-key entropy reduce
+    (cross-batch cell merge + p·ln p bincount) runs once per coarse
+    hash partition.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "hod": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]]
+        g = pd.DataFrame({key_col: sub[key_col],
+                          "hod": sub[ts_col].dt.hour.astype(np.int64)}) \
+            .groupby([key_col, "hod"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (hash64(g[key_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _entropy(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "hour_entropy": [],
+                                 "n_events": pd.array([],
+                                                      dtype="int64")})
+        cells = df.groupby([key_col, "hod"], sort=False)["n"].sum() \
+            .reset_index()
+        tot = cells.groupby(key_col, sort=False)["n"].transform("sum") \
+            .to_numpy(np.float64)
+        p = cells["n"].to_numpy(np.float64) / tot
+        ent = pd.Series(-p * np.log(p)) \
+            .groupby(cells[key_col], sort=False)
+        out = pd.DataFrame({
+            "hour_entropy": ent.sum().to_numpy(np.float64),
+            "n_events": cells.groupby(key_col, sort=False)["n"].sum()
+            .to_numpy(np.int64)})
+        out.insert(0, key_col, ent.sum().index.to_numpy())
+        return out
+
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_entropy, batch_format="pandas")

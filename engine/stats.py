@@ -1274,3 +1274,46 @@ def grouped_quantile_buckets(ds, *, group_col: str, value_col: str,
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_assign, batch_format="pandas")
+
+
+def grouped_mad(ds, *, group_col: str, value_col: str,
+                batch_size: int = 65536):
+    """Per-group median absolute deviation (plus the count) — ``median(
+    abs(v - median(v)))`` with continuous-interpolation medians
+    (``median``/``quantile_cont`` parity). NULL values / NULL groups
+    drop. Returns (group, mad, n). The global robust-z sibling is
+    :func:`robust_zscore`.
+
+    Scale shape: whole groups co-locate on P coarse hash partitions
+    (only (group, value) rows shuffle once); both selection passes are
+    grouped pandas kernels inside the partition — no second corpus
+    pass, no fence join.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _part(df):
+        out = df[[group_col, value_col]].dropna().copy()
+        out["part"] = (hash64(out[group_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _mad(df):
+        if group_col not in df.columns or not len(df):
+            return pd.DataFrame({group_col: [], "mad": [],
+                                 "n": pd.array([], dtype="int64")})
+        g = df.groupby(group_col, sort=False)[value_col]
+        med = g.transform("median").to_numpy(np.float64)
+        dev = pd.Series(np.abs(df[value_col].to_numpy(np.float64)
+                               - med))
+        gg = dev.groupby(df[group_col], sort=False)
+        out = pd.DataFrame({"mad": gg.median().to_numpy(np.float64),
+                            "n": gg.size().to_numpy(np.int64)})
+        out.insert(0, group_col, gg.median().index.to_numpy())
+        return out
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_mad, batch_format="pandas")

@@ -149,3 +149,84 @@ class TestGroupedQuantileBuckets:
             value_col="value", id_col="event_id").to_pandas()
         counts = got.groupby(["event_type", "bucket"]).size()
         assert set(counts.to_numpy().tolist()) == {50}
+
+
+class TestUserHourEntropy:
+    @pytest.mark.parametrize("seed", [95, 121])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import user_hour_entropy
+        df = _events(seed)
+        # tiny batches force cross-batch (key, hour) cell merging
+        got = user_hour_entropy(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with c as (
+              select user_id, hour(ts) as hod, count(*)::double as n
+              from events
+              where ts is not null and user_id is not null
+              group by user_id, hod),
+            t as (select user_id, sum(n) as tot from c
+                  group by user_id)
+            select c.user_id,
+                   -sum((n / tot) * ln(n / tot)) as hour_entropy,
+                   sum(n)::bigint as n_events
+            from c join t using (user_id)
+            group by c.user_id order by c.user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n_events_g"] == m["n_events_e"]).all()
+        assert np.isclose(m["hour_entropy_g"].to_numpy(),
+                          m["hour_entropy_e"].to_numpy()).all()
+
+    def test_single_hour_user_zero_entropy(self, ray_session):
+        import ray.data
+        from engine.relational import user_hour_entropy
+        df = pd.DataFrame({
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "ts": pd.to_datetime(["2021-01-01 09:00", "2021-01-02 09:30",
+                                  "2021-01-03 09:59"])})
+        got = user_hour_entropy(ray.data.from_pandas(df)).to_pandas()
+        assert got["hour_entropy"].iloc[0] == 0.0
+        assert got["n_events"].iloc[0] == 3
+
+
+class TestGroupedMad:
+    @pytest.mark.parametrize("seed", [99, 123])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import grouped_mad
+        df = _events(seed)
+        got = grouped_mad(
+            ray.data.from_pandas(df), group_col="event_type",
+            value_col="value").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with m as (
+              select event_type, median(value) as med
+              from events
+              where value is not null and event_type is not null
+              group by event_type)
+            select e.event_type, median(abs(e.value - m.med)) as mad,
+                   count(*)::bigint as n
+            from events e join m using (event_type)
+            where e.value is not null
+            group by e.event_type order by e.event_type""").df()
+        m = got.merge(exp, on="event_type", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["n_g"] == m["n_e"]).all()
+        assert np.isclose(m["mad_g"].to_numpy(),
+                          m["mad_e"].to_numpy()).all()
+
+    def test_constant_group_mad_zero(self, ray_session):
+        import ray.data
+        from engine.stats import grouped_mad
+        df = pd.DataFrame({"g": ["a"] * 5, "v": [2.0] * 5})
+        got = grouped_mad(ray.data.from_pandas(df), group_col="g",
+                          value_col="v").to_pandas()
+        assert got["mad"].iloc[0] == 0.0
