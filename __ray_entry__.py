@@ -1888,6 +1888,64 @@ def _q_value_mad_by_type(sf_dir: str):
         .sort("event_type")
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle: distinct active users per (first-day
+    cohort, day offset)."""
+    from engine.relational import cohort_retention
+    return cohort_retention(
+        _read(sf_dir, "events", columns=["user_id", "ts"])) \
+        .sort(["cohort", "day_offset"])
+
+
+def _q_rolling_rows_mean_user(sf_dir: str):
+    """Per-user trailing 3-ROWS mean of value (ROWS-frame parity: NULL
+    rows occupy frame slots; all-NULL frame is NULL)."""
+    from engine.relational import rolling_rows_mean
+    out = rolling_rows_mean(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        window_rows=3)
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("rolling_mean").to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "rolling_mean": pa.array(
+                [None if np.isnan(x) else float(x) for x in v],
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_id")
+
+
+def _q_active_days_histogram(sf_dir: str):
+    """Histogram of users' distinct-active-day counts — composition of
+    user_activity_span -> value_histogram (both oracled ops)."""
+    from engine.relational import user_activity_span
+    from engine.stats import value_histogram
+    span = user_activity_span(
+        _read(sf_dir, "events", columns=["user_id", "ts"]))
+    return value_histogram(span, "n_active_days", lo=0.0, hi=100.0,
+                           bins=20).sort("bin")
+
+
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Top-3 tokens by occurrence per language — (lang, token) count
+    combiner + the grouped top-k kernel."""
+    from engine.relational import grouped_topk
+    from engine.textstats import token_counts_by_group
+    counts = token_counts_by_group(
+        _docs(sf_dir, columns=["lang", "text"]), group_col="lang")
+    out = grouped_topk(counts, group_col="lang", score_col="cnt",
+                       id_col="token", k=3, ascending=False)
+
+    def _shape(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b.column("lang"),
+                         "token": b.column("token"),
+                         "cnt": b.column("cnt")})
+    return out.map_batches(_shape, batch_format="pyarrow") \
+        .sort(["lang", "token"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2005,6 +2063,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quartiles_by_lang": _q_doc_length_quartiles_by_lang,
         "user_hour_entropy": _q_user_hour_entropy,
         "value_mad_by_type": _q_value_mad_by_type,
+        "cohort_retention": _q_cohort_retention,
+        "rolling_rows_mean_user": _q_rolling_rows_mean_user,
+        "active_days_histogram": _q_active_days_histogram,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2674,6 +2736,52 @@ def oracle_sql() -> dict[str, str]:
             from events e join m using (event_type)
             where e.value is not null
             group by e.event_type order by e.event_type
+        """,
+        "cohort_retention": """
+            with e as (
+              select user_id, date_trunc('day', ts) as day
+              from events
+              where ts is not null and user_id is not null),
+            f as (select user_id, min(day) as cohort from e
+                  group by user_id)
+            select strftime(f.cohort, '%Y-%m-%d') as cohort,
+                   datediff('day', f.cohort, e.day)::bigint as day_offset,
+                   count(distinct e.user_id)::bigint as n_users
+            from e join f using (user_id)
+            group by 1, 2 order by 1, 2
+        """,
+        "rolling_rows_mean_user": """
+            select event_id,
+                   round(avg(value) over (
+                       partition by user_id order by ts, event_id
+                       rows between 2 preceding and current row),
+                       4) as rolling_mean
+            from events order by event_id
+        """,
+        "active_days_histogram": """
+            with s as (
+              select user_id,
+                     count(distinct date_trunc('day', ts))::double as d
+              from events where ts is not null group by user_id)
+            select least(floor((d - 0.0) * 20 / 100.0), 19)::bigint
+                       as bin,
+                   count(*) as n
+            from s where d >= 0.0 and d <= 100.0
+            group by bin order by bin
+        """,
+        "top_tokens_per_lang": r"""
+            with tok as (
+              select lang,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) as token
+              from documents where lang is not null),
+            c as (select lang, token, count(*)::bigint as cnt
+                  from tok group by lang, token),
+            rk as (select *, row_number() over (partition by lang
+                       order by cnt desc, token) as rn
+                   from c)
+            select lang, token, cnt from rk where rn <= 3
+            order by lang, token
         """,
         "value_gini_by_type": """
             with r as (

@@ -2822,3 +2822,123 @@ def user_hour_entropy(ds, *, key_col: str = "user_id",
     return ds.map_batches(_partial, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_entropy, batch_format="pandas")
+
+
+def cohort_retention(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     batch_size: int = 65536):
+    """Cohort retention counts: users grouped by FIRST-active day
+    (cohort), distinct active users per (cohort, day offset) — the
+    classic retention triangle. NULL keys / ts drop. Returns
+    (cohort 'YYYY-MM-DD', day_offset, n_users).
+
+    Scale shape: per-batch distinct (key, day) pairs shuffle ONCE on key
+    hash; inside each coarse partition the cohort (min day) and the
+    per-(cohort, offset) counts resolve vectorized — a user's rows all
+    co-locate, so "distinct users" is exact without a second distinct
+    pass; only (cohort, offset, n) partials feed the final bounded
+    groupby.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks, balance
+    P = reduce_blocks()
+
+    def _days(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "day": pd.array([], "datetime64[us]"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]]
+        g = pd.DataFrame({key_col: sub[key_col],
+                          "day": sub[ts_col].dt.floor("D")}) \
+            .drop_duplicates()
+        g["part"] = (hash64(g[key_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({"cohort": [],
+                                 "day_offset": pd.array([],
+                                                        dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        sub = df[[key_col, "day"]].drop_duplicates()
+        cohort = sub.groupby(key_col, sort=False)["day"] \
+            .transform("min")
+        off = (sub["day"] - cohort).dt.days.astype(np.int64)
+        g = pd.DataFrame({
+            "cohort": cohort.dt.strftime("%Y-%m-%d"),
+            "day_offset": off}) \
+            .groupby(["cohort", "day_offset"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_days, batch_format="pandas",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(_partial, batch_format="pandas")
+    agg = balance(parts).groupby(["cohort", "day_offset"]) \
+        .aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"cohort": b.column("cohort"),
+                         "day_offset": b.column("day_offset"),
+                         "n_users": b.column("sum(n)")})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"cohort": pa.array([], pa.string()),
+             "day_offset": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}))
+    return res
+
+
+def rolling_rows_mean(ds, *, key_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      id_col: str = "event_id", window_rows: int = 3,
+                      batch_size: int = 65536):
+    """Per-key trailing ROWS-frame mean — ``avg(value) OVER (PARTITION
+    BY key ORDER BY ts, id ROWS BETWEEN <w-1> PRECEDING AND CURRENT
+    ROW)`` parity: the frame counts ROWS (NULL-value rows occupy a slot
+    but don't contribute; an all-NULL frame is NULL). NULL keys group
+    as ONE partition; NULL timestamps sort last. The RANGE-frame (time
+    window) sibling is :func:`rolling_window_mean`. Returns
+    (id, rolling_mean).
+
+    Same coarse-partition shape as :func:`running_sum`; the kernel is
+    pandas' grouped ``rolling(w, min_periods=1).mean()`` Cython path.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, val_col]
+
+    def _part(df):
+        out = df[cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _roll(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({id_col: [], "rolling_mean": []})
+        sub = df.sort_values([key_col, ts_col, id_col], kind="mergesort",
+                             na_position="last").reset_index(drop=True)
+        y = sub.groupby(key_col, sort=False, dropna=False)[val_col] \
+            .rolling(window_rows, min_periods=1).mean() \
+            .reset_index(drop=True)
+        # groupby.rolling returns rows in group order; groups preserve
+        # the sorted order here because the frame is already sorted by
+        # key, so positional alignment holds
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(),
+                             "rolling_mean":
+                                 y.to_numpy(dtype=np.float64)})
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_roll, batch_format="pandas")

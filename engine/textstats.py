@@ -934,3 +934,68 @@ def token_entropy(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def token_counts_by_group(ds, *, group_col: str = "lang",
+                          text_col: str = "text",
+                          batch_size: int = 8192, concurrency=None):
+    """Token OCCURRENCE counts per (group, token) — the per-language
+    vocabulary profile. NULL groups drop; NULL text counts as empty.
+    Returns (group, token, cnt).
+
+    Scale shape: the per-batch (group-code, token-code) pair-count
+    combiner (one ``np.unique`` over stacked dictionary codes — the
+    :func:`token_doc_frequency` trick with the doc axis swapped for the
+    group axis) bounds the shuffle at per-batch-distinct pairs; the
+    final groupby is (groups x vocabulary)-bounded.
+    """
+    from ray.data.aggregate import Sum
+    from engine.kernels import _flatten, _valid_mask
+    from engine.shuffle import balance
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        keep_g = pc.is_valid(gcol).to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False) & keep_g[parent]
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        empty = pa.table({group_col: pa.array([], gcol.type),
+                          "token": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if not len(parent):
+            return empty
+        genc = gcol.dictionary_encode()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False)[parent]
+        tenc = flat.dictionary_encode()
+        tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+        # a NULL group makes .indices nullable -> float codes with NaN;
+        # the keep mask already dropped those rows, so the cast is safe
+        pairs, cnt = np.unique(
+            np.stack([gcodes, tcodes]).astype(np.int64), axis=1,
+            return_counts=True)
+        return pa.table({
+            group_col: genc.dictionary.take(pa.array(pairs[0])),
+            "token": pc.cast(tenc.dictionary.take(pa.array(pairs[1])),
+                             pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = balance(ds.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=batch_size,
+                                   concurrency=concurrency))
+    agg = parts.groupby([group_col, "token"]).aggregate(Sum("cnt"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b.column(group_col),
+                         "token": b.column("token"),
+                         "cnt": b.column("sum(cnt)")})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

@@ -230,3 +230,113 @@ class TestGroupedMad:
         got = grouped_mad(ray.data.from_pandas(df), group_col="g",
                           value_col="v").to_pandas()
         assert got["mad"].iloc[0] == 0.0
+
+
+class TestCohortRetention:
+    @pytest.mark.parametrize("seed", [103, 127])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import cohort_retention
+        df = _events(seed)
+        got = cohort_retention(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values(["cohort", "day_offset"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with e as (
+              select user_id, date_trunc('day', ts) as day
+              from events
+              where ts is not null and user_id is not null),
+            f as (select user_id, min(day) as cohort from e
+                  group by user_id)
+            select strftime(f.cohort, '%Y-%m-%d') as cohort,
+                   datediff('day', f.cohort, e.day)::bigint
+                       as day_offset,
+                   count(distinct e.user_id)::bigint as n_users
+            from e join f using (user_id)
+            group by 1, 2 order by 1, 2""").df()
+        assert len(got) == len(exp)
+        assert got["cohort"].tolist() == exp["cohort"].tolist()
+        assert got["day_offset"].tolist() == exp["day_offset"].tolist()
+        assert got["n_users"].tolist() == exp["n_users"].tolist()
+
+    def test_offset_zero_counts_every_user(self, ray_session):
+        import ray.data
+        from engine.relational import cohort_retention
+        df = _events(5)
+        users = df.loc[df["ts"].notna(), "user_id"].nunique()
+        got = cohort_retention(ray.data.from_pandas(df)).to_pandas()
+        assert int(got.loc[got["day_offset"] == 0, "n_users"].sum()) \
+            == users
+
+
+class TestRollingRowsMean:
+    @pytest.mark.parametrize("seed", [111, 129])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import rolling_rows_mean
+        df = _events(seed)
+        got = rolling_rows_mean(ray.data.from_pandas(df),
+                                window_rows=3).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select event_id,
+                   avg(value) over (
+                       partition by user_id order by ts, event_id
+                       rows between 2 preceding and current row)
+                       as rolling_mean
+            from events order by event_id""").df()
+        m = got.merge(exp, on="event_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert np.isclose(m["rolling_mean_g"].to_numpy(),
+                          m["rolling_mean_e"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_null_rows_occupy_slots(self, ray_session):
+        import ray.data
+        from engine.relational import rolling_rows_mean
+        ds = ray.data.from_arrow(pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(pd.to_datetime(
+                ["2021-01-01 00:00", "2021-01-01 00:01",
+                 "2021-01-01 00:02"])),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "value": pa.array([6.0, None, 2.0], pa.float64())}))
+        out = rolling_rows_mean(ds, window_rows=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        # frame (6, NULL) -> 6.0; frame (NULL, 2) -> 2.0
+        assert out["rolling_mean"].tolist() == [6.0, 6.0, 2.0]
+
+
+class TestTokenCountsByGroup:
+    @pytest.mark.parametrize("seed", [115])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.textstats import token_counts_by_group
+        rng = np.random.default_rng(seed)
+        n = 300
+        langs = rng.choice(["en", "de", None], n, p=[0.5, 0.4, 0.1])
+        vocab = ["aa", "bb", "cc", "dd"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 9)))
+                 if rng.random() > 0.05 else None for _ in range(n)]
+        df = pd.DataFrame({"lang": langs, "text": texts})
+        got = token_counts_by_group(
+            ray.data.from_pandas(df), batch_size=32).to_pandas() \
+            .sort_values(["lang", "token"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(r"""
+            with tok as (
+              select lang,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) as token
+              from documents where lang is not null)
+            select lang, token, count(*)::bigint as cnt
+            from tok group by lang, token
+            order by lang, token""").df()
+        assert got["lang"].tolist() == exp["lang"].tolist()
+        assert got["token"].tolist() == exp["token"].tolist()
+        assert got["cnt"].tolist() == exp["cnt"].tolist()
