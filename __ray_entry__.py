@@ -1946,6 +1946,72 @@ def _q_top_tokens_per_lang(sf_dir: str):
         .sort(["lang", "token"])
 
 
+def _q_q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter, enriched with acctbal and nation."""
+    from engine.relational import q10_returned_item_reporting
+    out = q10_returned_item_reporting(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                       "l_discount"]),
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_acctbal",
+                       "c_nationkey"]),
+        _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]))
+    out["revenue"] = _round_half_away(out["revenue"].to_numpy(), 4)
+    return out
+
+
+def _q_revenue_pareto_share(sf_dir: str):
+    """Share of total order revenue held by the top 20% of customers
+    (Pareto concentration)."""
+    from engine.stats import pareto_share
+    out = pareto_share(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        key_col="o_custkey", value_col="o_totalprice")
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("top_share").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "top_share": pa.array([None if np.isnan(x) else float(x)
+                                   for x in v], pa.float64()),
+            "n_keys": b.column("n_keys")})
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def _q_daily_value_quantiles(sf_dir: str):
+    """Per-day p50/p90 of event value — grouped_quantiles keyed by the
+    calendar day (composition of two oracled ops)."""
+    from engine.stats import grouped_quantiles
+
+    def _day(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        keep = ~pd.isna(ts)
+        sub = b.filter(pa.array(keep))
+        day = pd.Series(sub.column("ts").to_numpy(zero_copy_only=False)) \
+            .dt.strftime("%Y-%m-%d")
+        return pa.table({"day": pa.array(day, pa.string()),
+                         "value": sub.column("value")})
+
+    days = _read(sf_dir, "events", columns=["ts", "value"]) \
+        .map_batches(_day, batch_format="pyarrow")
+    out = grouped_quantiles(days, group_col="day", value_col="value",
+                            qs=[0.5, 0.9])
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": b.column("day"), "q": b.column("q"),
+            "value": pa.array(_round_half_away(
+                b.column("value").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["day", "q"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2067,6 +2133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_rows_mean_user": _q_rolling_rows_mean_user,
         "active_days_histogram": _q_active_days_histogram,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
+        "q10_returned_items": _q_q10_returned_items,
+        "revenue_pareto_share": _q_revenue_pareto_share,
+        "daily_value_quantiles": _q_daily_value_quantiles,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2782,6 +2851,53 @@ def oracle_sql() -> dict[str, str]:
                    from c)
             select lang, token, cnt from rk where rn <= 3
             order by lang, token
+        """,
+        "q10_returned_items": """
+            select c.c_custkey, c.c_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       as revenue,
+                   c.c_acctbal, n.n_name
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n on c.c_nationkey = n.n_nationkey
+            where o.o_orderdate >= timestamp '1996-01-01'
+              and o.o_orderdate < timestamp '1996-04-01'
+              and l.l_returnflag = 'R'
+            group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            order by revenue desc, c_custkey limit 20
+        """,
+        "revenue_pareto_share": """
+            with r as (
+              select o_custkey, sum(o_totalprice) as rev
+              from orders
+              where o_custkey is not null and o_totalprice is not null
+              group by o_custkey),
+            rk as (
+              select rev,
+                     row_number() over (order by rev desc, o_custkey)
+                         as rn,
+                     count(*) over () as n,
+                     sum(rev) over () as tot
+              from r)
+            select round(sum(case when rn <= ceil(0.2 * n)
+                                  then rev else 0 end)
+                         / any_value(tot), 6) as top_share,
+                   any_value(n)::bigint as n_keys
+            from rk
+        """,
+        "daily_value_quantiles": """
+            with e as (
+              select strftime(ts, '%Y-%m-%d') as day, value
+              from events where ts is not null and value is not null)
+            select day, 0.5 as q,
+                   round(quantile_cont(value, 0.5), 4) as value
+            from e group by day
+            union all
+            select day, 0.9 as q,
+                   round(quantile_cont(value, 0.9), 4) as value
+            from e group by day
+            order by day, q
         """,
         "value_gini_by_type": """
             with r as (

@@ -2942,3 +2942,151 @@ def rolling_rows_mean(ds, *, key_col: str = "user_id",
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_roll, batch_format="pandas")
+
+
+def q10_returned_item_reporting(lineitem_ds, orders_ds, customer_ds,
+                                nation_ds, *,
+                                date_lo: str = "1996-01-01",
+                                date_hi: str = "1996-04-01", k: int = 20,
+                                batch_size: int = 65536,
+                                concurrency=None,
+                                broadcast_limit: int = 2_000_000):
+    """TPC-H Q10 shape: top-k customers by revenue lost to RETURNED
+    items in one quarter, enriched with account balance and nation.
+
+    Scale shape — ONE data-data hash join, every dimension size-gated:
+
+    1. lineitem filters ``l_returnflag = 'R'`` and pre-aggregates
+       revenue per orderkey INSIDE ``map_batches`` (combiner rows, never
+       raw lineitem);
+    2. orders filter to the quarter and carry only (orderkey, custkey);
+    3. ``Dataset.join`` on orderkey, then a custkey groupby-sum bounds
+       the result at the customer count;
+    4. the customer dimension attaches via a sorted-array broadcast
+       (``ray.put`` + searchsorted) below ``broadcast_limit`` rows, a
+       distributed hash join above; nation (25 rows) always broadcasts;
+    5. distributed sort + limit keeps all but k rows off the driver.
+
+    Returns a pandas DataFrame
+    (c_custkey, c_name, revenue, c_acctbal, n_name).
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+    from engine.shuffle import join_partitions
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = (sub.column("l_extendedprice").to_numpy(zero_copy_only=False)
+               * (1.0 - sub.column("l_discount").to_numpy(
+                   zero_copy_only=False)))
+        df = pd.DataFrame({
+            "o_orderkey": sub.column("l_orderkey").to_numpy(
+                zero_copy_only=False),
+            "rev": rev}).groupby("o_orderkey", sort=False) \
+            .sum().reset_index()
+        return pa.table({"o_orderkey": pa.array(df["o_orderkey"]),
+                         "rev": pa.array(df["rev"], pa.float64())})
+
+    li = lineitem_ds.map_batches(_li_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True,
+                                 batch_size=batch_size,
+                                 concurrency=concurrency)
+
+    def _o_filter(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        sub = b.filter(pa.array((od >= lo) & (od < hi)))
+        return pa.table({"o_orderkey": sub.column("o_orderkey"),
+                         "o_custkey": sub.column("o_custkey")})
+
+    orders = orders_ds.map_batches(_o_filter, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=batch_size,
+                                   concurrency=concurrency)
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions(),
+                     on=("o_orderkey",))
+
+    def _norm(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:  # schemaless empty join partition
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        return b.select(["o_custkey", "rev"])
+
+    per_cust = joined.map_batches(_norm, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("rev"))
+
+    nat = nation_ds.to_pandas()  # 25 rows by spec — always broadcast
+    nat_map = dict(zip(nat["n_nationkey"].tolist(),
+                       nat["n_name"].tolist()))
+    cust = customer_ds.map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "c_acctbal",
+                            "c_nationkey"]),
+        batch_format="pyarrow").materialize()
+
+    def _typed_empty():
+        return pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "n_name": pa.array([], pa.string())})
+
+    if cust.count() <= broadcast_limit:
+        cdf = cust.to_pandas().sort_values("c_custkey")
+        side = ray.put((cdf["c_custkey"].to_numpy(),
+                        cdf["c_name"].to_numpy(object),
+                        cdf["c_acctbal"].to_numpy(np.float64),
+                        cdf["c_nationkey"].to_numpy(), nat_map))
+
+        def _attach(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or not b.num_rows:
+                return _typed_empty()
+            keys, names, bal, nk, nm = ray.get(side)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck)
+            pos = np.minimum(pos, len(keys) - 1)
+            ok = keys[pos] == ck
+            rev = b.column("sum(rev)").to_numpy(zero_copy_only=False)[ok]
+            p = pos[ok]
+            return pa.table({
+                "c_custkey": pa.array(ck[ok]),
+                "c_name": pa.array(names[p].tolist(), pa.string()),
+                "revenue": pa.array(rev, pa.float64()),
+                "c_acctbal": pa.array(bal[p], pa.float64()),
+                "n_name": pa.array([nm.get(x) for x in nk[p].tolist()],
+                                   pa.string())})
+
+        enriched = per_cust.map_batches(_attach, batch_format="pyarrow")
+    else:
+        cj = per_cust.join(
+            cust.map_batches(
+                lambda b: b.rename_columns(
+                    ["o_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=join_partitions(),
+            on=("o_custkey",))
+
+        def _attach_joined(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or not b.num_rows:
+                return _typed_empty()
+            nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c_custkey": b.column("o_custkey"),
+                "c_name": b.column("c_name"),
+                "revenue": pc.cast(b.column("sum(rev)"), pa.float64()),
+                "c_acctbal": pc.cast(b.column("c_acctbal"), pa.float64()),
+                "n_name": pa.array([nat_map.get(x) for x in nk.tolist()],
+                                   pa.string())})
+
+        enriched = cj.map_batches(_attach_joined, batch_format="pyarrow")
+
+    top = enriched.sort(["revenue", "c_custkey"],
+                        descending=[True, False]).limit(k)
+    out = top.to_pandas().reset_index(drop=True)
+    if not len(out):
+        return _typed_empty().to_pandas()
+    return out

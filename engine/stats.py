@@ -1317,3 +1317,56 @@ def grouped_mad(ds, *, group_col: str, value_col: str,
     return ds.map_batches(_part, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_mad, batch_format="pandas")
+
+
+def pareto_share(ds, *, key_col: str, value_col: str,
+                 top_frac: float = 0.2, batch_size: int = 65536):
+    """Pareto concentration: the share of the total value held by the
+    top ``ceil(top_frac * n)`` keys ranked by their value sum — the
+    "do 20% of customers drive 80% of revenue" metric. NULL keys /
+    values drop. Returns ONE row (top_share, n_keys); NULL share when
+    the total is zero or there are no keys.
+
+    Scale shape: the per-key sums come from the standard in-batch
+    combiner + key groupby (bounded at the key count); the rank cutoff
+    reduce runs worker-side over ONE coalesced block of that bounded
+    aggregate (same pattern as mutual_information). For key counts that
+    outgrow a single worker block, use a quantile fence from
+    ``exact_quantiles`` instead — documented trade-off, not a silent
+    cap.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "v": []})
+        sub = df[[key_col, value_col]].dropna()
+        g = sub.groupby(key_col, sort=False)[value_col].sum() \
+            .rename("v").reset_index()
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(key_col).aggregate(Sum("v"))
+
+    def _share(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({"top_share": [],
+                                 "n_keys": pd.array([], dtype="int64")})
+        v = np.sort(df["sum(v)"].to_numpy(np.float64))[::-1]
+        n = len(v)
+        k = int(np.ceil(top_frac * n))
+        tot = v.sum()
+        share = float(v[:k].sum() / tot) if tot != 0.0 else np.nan
+        return pd.DataFrame({"top_share": [share], "n_keys": [n]})
+
+    res = agg.repartition(1).map_batches(
+        _share, batch_format="pandas", batch_size=None).materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"top_share": pa.array([None], pa.float64()),
+             "n_keys": pa.array([0], pa.int64())}))
+    return res

@@ -340,3 +340,130 @@ class TestTokenCountsByGroup:
         assert got["lang"].tolist() == exp["lang"].tolist()
         assert got["token"].tolist() == exp["token"].tolist()
         assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+class TestQ10ReturnedItems:
+    def test_differential_vs_duckdb(self, ray_session):
+        import ray.data
+        from engine.relational import q10_returned_item_reporting
+        rng = np.random.default_rng(7)
+        n_li, n_o, n_c = 4000, 800, 120
+        lineitem = pd.DataFrame({
+            "l_orderkey": rng.integers(1, n_o + 1, n_li),
+            "l_returnflag": rng.choice(["R", "N", "A"], n_li),
+            "l_extendedprice": rng.uniform(10, 1000, n_li).round(2),
+            "l_discount": rng.choice([0.0, 0.05, 0.1], n_li)})
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(1, n_o + 1, dtype=np.int64),
+            "o_custkey": rng.integers(1, n_c + 1, n_o),
+            "o_orderdate": pd.to_datetime("1995-10-01")
+            + pd.to_timedelta(rng.integers(0, 400, n_o), unit="D")})
+        customer = pd.DataFrame({
+            "c_custkey": np.arange(1, n_c + 1, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(1, n_c + 1)],
+            "c_acctbal": rng.uniform(-999, 9999, n_c).round(2),
+            "c_nationkey": rng.integers(0, 5, n_c)})
+        nation = pd.DataFrame({
+            "n_nationkey": np.arange(5, dtype=np.int64),
+            "n_name": ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA",
+                       "EGYPT"]})
+        got = q10_returned_item_reporting(
+            ray.data.from_pandas(lineitem), ray.data.from_pandas(orders),
+            ray.data.from_pandas(customer), ray.data.from_pandas(nation))
+        con = duckdb.connect()
+        for name, df in [("lineitem", lineitem), ("orders", orders),
+                         ("customer", customer), ("nation", nation)]:
+            con.register(name, df)
+        exp = con.execute("""
+            select c.c_custkey, c.c_name,
+                   sum(l.l_extendedprice * (1 - l.l_discount))
+                       as revenue,
+                   c.c_acctbal, n.n_name
+            from lineitem l
+            join orders o on l.l_orderkey = o.o_orderkey
+            join customer c on o.o_custkey = c.c_custkey
+            join nation n on c.c_nationkey = n.n_nationkey
+            where o.o_orderdate >= timestamp '1996-01-01'
+              and o.o_orderdate < timestamp '1996-04-01'
+              and l.l_returnflag = 'R'
+            group by c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            order by revenue desc, c_custkey limit 20""").df()
+        assert len(got) == len(exp) > 0
+        assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+        assert got["n_name"].tolist() == exp["n_name"].tolist()
+        assert np.isclose(got["revenue"].to_numpy(),
+                          exp["revenue"].to_numpy()).all()
+
+    def test_distributed_join_route_matches(self, ray_session):
+        import ray.data
+        from engine.relational import q10_returned_item_reporting
+        rng = np.random.default_rng(13)
+        lineitem = pd.DataFrame({
+            "l_orderkey": rng.integers(1, 60, 300),
+            "l_returnflag": rng.choice(["R", "N"], 300),
+            "l_extendedprice": rng.uniform(10, 500, 300).round(2),
+            "l_discount": rng.choice([0.0, 0.1], 300)})
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(1, 60, dtype=np.int64),
+            "o_custkey": rng.integers(1, 20, 59),
+            "o_orderdate": pd.to_datetime("1996-02-01")
+            + pd.to_timedelta(rng.integers(0, 30, 59), unit="D")})
+        customer = pd.DataFrame({
+            "c_custkey": np.arange(1, 20, dtype=np.int64),
+            "c_name": [f"C{i}" for i in range(1, 20)],
+            "c_acctbal": rng.uniform(0, 100, 19).round(2),
+            "c_nationkey": rng.integers(0, 2, 19)})
+        nation = pd.DataFrame({"n_nationkey": np.arange(2,
+                                                        dtype=np.int64),
+                               "n_name": ["A", "B"]})
+        args = [ray.data.from_pandas(x)
+                for x in (lineitem, orders, customer, nation)]
+        bc = q10_returned_item_reporting(*args)
+        args = [ray.data.from_pandas(x)
+                for x in (lineitem, orders, customer, nation)]
+        dj = q10_returned_item_reporting(*args, broadcast_limit=0)
+        assert bc["c_custkey"].tolist() == dj["c_custkey"].tolist()
+        assert np.isclose(bc["revenue"].to_numpy(),
+                          dj["revenue"].to_numpy()).all()
+
+
+class TestParetoShare:
+    @pytest.mark.parametrize("seed", [17, 131])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.stats import pareto_share
+        rng = np.random.default_rng(seed)
+        n = 3000
+        df = pd.DataFrame({
+            "o_custkey": rng.integers(1, 400, n),
+            "o_totalprice": rng.lognormal(4, 1, n).round(2)})
+        got = pareto_share(ray.data.from_pandas(df),
+                           key_col="o_custkey",
+                           value_col="o_totalprice").to_pandas()
+        con = duckdb.connect()
+        con.register("orders", df)
+        exp = con.execute("""
+            with r as (select o_custkey, sum(o_totalprice) as rev
+                       from orders group by o_custkey),
+            rk as (select rev,
+                          row_number() over (order by rev desc,
+                                             o_custkey) as rn,
+                          count(*) over () as n,
+                          sum(rev) over () as tot
+                   from r)
+            select sum(case when rn <= ceil(0.2 * n) then rev
+                            else 0 end) / any_value(tot) as top_share,
+                   any_value(n)::bigint as n_keys
+            from rk""").df()
+        assert got["n_keys"].iloc[0] == exp["n_keys"].iloc[0]
+        assert np.isclose(got["top_share"].iloc[0],
+                          exp["top_share"].iloc[0])
+
+    def test_uniform_values_share_equals_frac(self, ray_session):
+        import ray.data
+        from engine.stats import pareto_share
+        df = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                           "v": np.ones(10)})
+        got = pareto_share(ray.data.from_pandas(df), key_col="k",
+                           value_col="v").to_pandas()
+        assert np.isclose(got["top_share"].iloc[0], 0.2)
