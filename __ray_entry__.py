@@ -2012,6 +2012,28 @@ def _q_daily_value_quantiles(sf_dir: str):
         .sort(["day", "q"])
 
 
+def _q_duplicate_custkey_orderdate(sf_dir: str):
+    """Composite-key uniqueness: (custkey, orderdate) pairs placing more
+    than one order — the single-key salted uniqueness kernel over a
+    concatenated key."""
+    from engine.uniqueness import duplicate_keys
+
+    def _key(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = pd.Series(b.column("o_orderdate")
+                        .to_numpy(zero_copy_only=False)) \
+            .dt.strftime("%Y-%m-%d")
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({"ckey": pa.array(
+            [f"{c}|{d}" for c, d in zip(ck.tolist(), day.tolist())],
+            pa.string())})
+
+    keyed = _read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(_key, batch_format="pyarrow")
+    return duplicate_keys(keyed, key="ckey").sort("key")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2136,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": _q_q10_returned_items,
         "revenue_pareto_share": _q_revenue_pareto_share,
         "daily_value_quantiles": _q_daily_value_quantiles,
+        "duplicate_custkey_orderdate": _q_duplicate_custkey_orderdate,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2302,6 +2325,13 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_keys_lineitem": """
             select l_orderkey, count(*) as dup_count
             from lineitem group by l_orderkey having count(*) > 1
+        """,
+        "duplicate_custkey_orderdate": """
+            select o_custkey::varchar || '|'
+                   || strftime(o_orderdate, '%Y-%m-%d') as key,
+                   count(*) as dup_count
+            from orders group by key having count(*) > 1
+            order by key
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders
