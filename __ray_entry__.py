@@ -1992,8 +1992,9 @@ def _q_daily_value_quantiles(sf_dir: str):
         ts = b.column("ts").to_numpy(zero_copy_only=False)
         keep = ~pd.isna(ts)
         sub = b.filter(pa.array(keep))
-        day = pd.Series(sub.column("ts").to_numpy(zero_copy_only=False)) \
-            .dt.strftime("%Y-%m-%d")
+        day = np.datetime_as_string(
+            sub.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]"))
         return pa.table({"day": pa.array(day, pa.string()),
                          "value": sub.column("value")})
 
