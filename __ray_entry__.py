@@ -2035,6 +2035,52 @@ def _q_duplicate_custkey_orderdate(sf_dir: str):
     return duplicate_keys(keyed, key="ckey").sort("key")
 
 
+def _q_source_lang_profile(sf_dir: str):
+    """Per-(source, lang) document count and mean length — the generic
+    multi-key profile aggregate."""
+    from engine.stats import grouped_count_mean
+    out = grouped_count_mean(
+        _docs(sf_dir, columns=["source", "lang", "n_chars"]),
+        group_cols=["source", "lang"], value_col="n_chars")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column("source"), "lang": b.column("lang"),
+            "n_docs": b.column("n"),
+            "mean_chars": pa.array(_round_half_away(
+                b.column("mean").to_numpy(zero_copy_only=False), 4),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["source", "lang"])
+
+
+def _q_vocabulary_stats(sf_dir: str):
+    """Corpus vocabulary profile: distinct tokens, hapax count, total
+    occurrences (one pass)."""
+    from engine.textstats import vocabulary_stats
+    return vocabulary_stats(_docs(sf_dir, columns=["text"]))
+
+
+def _q_similar_docs_to_first(sf_dir: str):
+    """Top-10 documents by token-set Jaccard to doc 0 — the
+    find-similar-documents search with a broadcast query set."""
+    import ray.data
+    from engine.textstats import jaccard_to_query
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    row = docs.filter(lambda r: r["doc_id"] == 0).take(1)
+    qtoks = (row[0]["text"] or "").split() if row else []
+    out = jaccard_to_query(docs, query_tokens=qtoks, k=10)
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("jaccard").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "jaccard": pa.array([None if np.isnan(x) else float(x)
+                                 for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2160,6 +2206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_share": _q_revenue_pareto_share,
         "daily_value_quantiles": _q_daily_value_quantiles,
         "duplicate_custkey_orderdate": _q_duplicate_custkey_orderdate,
+        "source_lang_profile": _q_source_lang_profile,
+        "vocabulary_stats": _q_vocabulary_stats,
+        "similar_docs_to_first": _q_similar_docs_to_first,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2333,6 +2382,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as dup_count
             from orders group by key having count(*) > 1
             order by key
+        """,
+        "source_lang_profile": """
+            select source, lang, count(*)::bigint as n_docs,
+                   round(avg(n_chars), 4) as mean_chars
+            from documents
+            where source is not null and lang is not null
+              and n_chars is not null
+            group by source, lang order by source, lang
+        """,
+        "vocabulary_stats": r"""
+            with tok as (
+              select unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) as t
+              from documents),
+            c as (select t, count(*)::bigint as n from tok group by t)
+            select count(*)::bigint as vocab_size,
+                   coalesce(count(*) filter (n = 1), 0)::bigint
+                       as hapax_count,
+                   coalesce(sum(n), 0)::bigint as total_tokens
+            from c
+        """,
+        "similar_docs_to_first": r"""
+            with q as (
+              select list_distinct(regexp_extract_all(
+                  coalesce(text, ''), '\S+')) as qs
+              from documents where doc_id = 0),
+            d as (
+              select doc_id, list_distinct(regexp_extract_all(
+                  coalesce(text, ''), '\S+')) as ts
+              from documents),
+            s as (
+              select d.doc_id,
+                     len(list_intersect(d.ts, q.qs))::double
+                     / nullif(len(list_distinct(d.ts || q.qs)), 0)
+                         as j
+              from d, q)
+            select doc_id, round(j, 6) as jaccard
+            from s order by j desc nulls last, doc_id limit 10
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

@@ -1370,3 +1370,56 @@ def pareto_share(ds, *, key_col: str, value_col: str,
             {"top_share": pa.array([None], pa.float64()),
              "n_keys": pa.array([0], pa.int64())}))
     return res
+
+
+def grouped_count_mean(ds, *, group_cols: Sequence[str], value_col: str,
+                       batch_size=None):
+    """Count + mean of a value per MULTI-column group — the generic
+    profile aggregate ((source, lang) -> doc count + mean length). Rows
+    with any NULL group member or NULL value drop. Returns
+    (*group_cols, n, mean).
+
+    Same sufficient-statistics shape as :func:`grouped_weighted_mean`:
+    per-block (n, s) combiner rows, a (group-tuple)-bounded groupby, a
+    vectorized final divide, and the typed-empty substitution on
+    all-filtered input.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    gcols = list(group_cols)
+
+    def _partial(df):
+        if not len(df) or gcols[0] not in df.columns:
+            out = pd.DataFrame({c: [] for c in gcols})
+            out["n"] = pd.array([], dtype="int64")
+            out["s"] = pd.array([], dtype="float64")
+            return out
+        sub = df[gcols + [value_col]].dropna()
+        g = sub.groupby(gcols, sort=False)[value_col] \
+            .agg(["size", "sum"]).reset_index()
+        g.columns = gcols + ["n", "s"]
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(gcols).aggregate(Sum("n"), Sum("s"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        cols = {c: b.column(c) for c in gcols}
+        cols["n"] = pa.array(n.astype(np.int64), pa.int64())
+        cols["mean"] = pa.array(s / n, pa.float64())
+        return pa.table(cols)
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        cols = {c: pa.array([], column_dtype(ds, c)) for c in gcols}
+        cols["n"] = pa.array([], pa.int64())
+        cols["mean"] = pa.array([], pa.float64())
+        return ray.data.from_arrow(pa.table(cols))
+    return res

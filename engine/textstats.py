@@ -999,3 +999,114 @@ def token_counts_by_group(ds, *, group_col: str = "lang",
                          "cnt": b.column("sum(cnt)")})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def vocabulary_stats(ds, *, text_col: str = "text",
+                     batch_size: int = 8192, concurrency=None):
+    """Corpus vocabulary profile in one pass: distinct token count,
+    hapax-legomena count (tokens occurring exactly once), and total
+    token occurrences. Returns ONE row
+    (vocab_size, hapax_count, total_tokens).
+
+    Scale shape: per-batch token ``value_counts`` combiners shuffle only
+    (token, cnt) rows; the three scalars then fold from per-block
+    partials over the token aggregate (count / count-if-1 / sum) — the
+    vocabulary itself never coalesces into one block.
+    """
+    from ray.data.aggregate import Sum
+    from engine.kernels import _flatten, _valid_mask
+    from engine.shuffle import balance
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        vc = pc.value_counts(flat.filter(keep))
+        return pa.table({"token": pc.cast(vc.field("values"), pa.string()),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = balance(ds.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=batch_size,
+                                   concurrency=concurrency))
+    agg = parts.groupby("token").aggregate(Sum("cnt"))
+
+    def _fold(b: pa.Table) -> pa.Table:
+        n = b.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vocab": pa.array([len(n)], pa.int64()),
+            "hapax": pa.array([int((n == 1).sum())], pa.int64()),
+            "total": pa.array([int(n.sum())], pa.int64())})
+
+    folded = agg.map_batches(_fold, batch_format="pyarrow",
+                             batch_size=None)
+    t = folded.sum(["vocab", "hapax", "total"])
+    return pa.table({
+        "vocab_size": pa.array([int(t["sum(vocab)"] or 0)], pa.int64()),
+        "hapax_count": pa.array([int(t["sum(hapax)"] or 0)], pa.int64()),
+        "total_tokens": pa.array([int(t["sum(total)"] or 0)],
+                                 pa.int64())})
+
+
+def jaccard_to_query(ds, *, query_tokens, text_col: str = "text",
+                     key_col: str = "doc_id", k: int = 10,
+                     batch_size: int = 8192, concurrency=None):
+    """Top-k documents by token-set Jaccard similarity to ONE query
+    token set — the "find documents like this one" search. Each doc's
+    distinct tokens intersect the broadcast query set map-only; ties
+    break by key ascending. A doc and query both empty report NULL
+    similarity (SQL NULLIF); an empty doc against a non-empty query
+    scores 0. Returns the top-k Dataset (key, jaccard).
+
+    Scale shape: the query set ships ONCE via ``ray.put`` (sorted
+    array + searchsorted membership); per-batch distinct (doc, token)
+    pairs come from the dictionary-code combiner, so scoring is one
+    vectorized pass — no shuffle before the k-row sort+limit.
+    """
+    import ray
+    from engine.kernels import _flatten, _valid_mask
+    q = np.unique(np.array([t for t in query_tokens if t], dtype=object))
+    qref = ray.put(q)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qs = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        n = batch.num_rows
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)[keep]
+        nd = np.zeros(n, dtype=np.int64)
+        inter = np.zeros(n, dtype=np.int64)
+        if len(parent):
+            pairs = np.unique(np.stack([parent, codes]).astype(np.int64),
+                              axis=1)
+            nd = np.bincount(pairs[0], minlength=n).astype(np.int64)
+            dic = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            tok = dic[pairs[1]]
+            if len(qs):
+                pos = np.minimum(np.searchsorted(qs, tok), len(qs) - 1)
+                member = qs[pos] == tok
+                inter = np.bincount(pairs[0][member],
+                                    minlength=n).astype(np.int64)
+        union = nd + len(qs) - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / union, np.nan)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "jaccard": pa.array([None if np.isnan(x) else float(x)
+                                 for x in j], pa.float64())})
+
+    scored = ds.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=concurrency)
+    return scored.sort(["jaccard", key_col],
+                       descending=[True, False]).limit(k)
