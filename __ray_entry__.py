@@ -2081,6 +2081,57 @@ def _q_similar_docs_to_first(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Sample covariance of the first 4 embedding dimensions (the
+    distributed Gram-matrix op, oracle-sized slice)."""
+    from engine.similarity import embedding_covariance
+    out = embedding_covariance(
+        _read(sf_dir, "embeddings", columns=["embedding"]),
+        dim=64, use_dims=4)
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("cov").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "i": b.column("i"), "j": b.column("j"),
+            "cov": pa.array([None if np.isnan(x) else float(x)
+                             for x in v], pa.float64()),
+            "n": b.column("n")})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["i", "j"])
+
+
+def _q_event_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts between consecutive event
+    types per user."""
+    from engine.relational import event_transition_matrix
+    return event_transition_matrix(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"])) \
+        .sort(["from_type", "to_type"])
+
+
+def _q_time_to_first_purchase(sf_dir: str):
+    """Per-user seconds from first event to first purchase (NULL when
+    the user never purchases)."""
+    from engine.relational import time_to_first_target
+    out = time_to_first_target(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type"]),
+        target="purchase")
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("seconds_to_target").to_numpy(zero_copy_only=False),
+            4)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "seconds_to_purchase": pa.array(
+                [None if np.isnan(x) else float(x) for x in v],
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2209,6 +2260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_profile": _q_source_lang_profile,
         "vocabulary_stats": _q_vocabulary_stats,
         "similar_docs_to_first": _q_similar_docs_to_first,
+        "embedding_covariance": _q_embedding_covariance,
+        "event_transition_matrix": _q_event_transition_matrix,
+        "time_to_first_purchase": _q_time_to_first_purchase,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2420,6 +2474,55 @@ def oracle_sql() -> dict[str, str]:
               from d, q)
             select doc_id, round(j, 6) as jaccard
             from s order by j desc nulls last, doc_id limit 10
+        """,
+        "embedding_covariance": """
+            with p as (
+              select unnest([
+                  struct_pack(i := 0, j := 0),
+                  struct_pack(i := 0, j := 1),
+                  struct_pack(i := 0, j := 2),
+                  struct_pack(i := 0, j := 3),
+                  struct_pack(i := 1, j := 1),
+                  struct_pack(i := 1, j := 2),
+                  struct_pack(i := 1, j := 3),
+                  struct_pack(i := 2, j := 2),
+                  struct_pack(i := 2, j := 3),
+                  struct_pack(i := 3, j := 3)], recursive := true))
+            select p.i::bigint as i, p.j::bigint as j,
+                   round(covar_samp(embedding[p.i + 1],
+                                    embedding[p.j + 1]), 6) as cov,
+                   count(*)::bigint as n
+            from embeddings, p
+            group by p.i, p.j order by i, j
+        """,
+        "event_transition_matrix": """
+            with s as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                         partition by user_id
+                         order by ts, event_id) as nxt
+              from events
+              where ts is not null and user_id is not null
+                and event_type is not null)
+            select event_type as from_type, nxt as to_type,
+                   count(*)::bigint as n
+            from s where nxt is not null
+            group by from_type, to_type order by from_type, to_type
+        """,
+        "time_to_first_purchase": """
+            with f as (
+              select user_id, min(ts) as first_ts from events
+              where ts is not null and user_id is not null
+              group by user_id),
+            p as (
+              select user_id, min(ts) as first_purchase from events
+              where ts is not null and user_id is not null
+                and event_type = 'purchase'
+              group by user_id)
+            select f.user_id,
+                   round(epoch(p.first_purchase - f.first_ts), 4)
+                       as seconds_to_purchase
+            from f left join p using (user_id) order by user_id
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

@@ -3094,3 +3094,139 @@ def q10_returned_item_reporting(lineitem_ds, orders_ds, customer_ds,
     if not len(out):
         return _typed_empty().to_pandas()
     return out
+
+
+def event_transition_matrix(ds, *, key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            id_col: str = "event_id",
+                            batch_size: int = 65536):
+    """First-order Markov transition counts: how often event type A is
+    immediately followed by type B within the same key's (ts, id)
+    order — ``lead(type) OVER (PARTITION BY key ORDER BY ts, id)``
+    pair counts. NULL keys / ts / types drop. Returns
+    (from_type, to_type, n), vocabulary²-bounded.
+
+    Scale shape: (id, key, ts, type) rows shuffle once onto P coarse
+    hash partitions; adjacency is a grouped ``shift(-1)`` and the pair
+    counts collapse per partition before the tiny final groupby.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks, balance
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, type_col]
+
+    def _part(df):
+        out = df.loc[df[ts_col].notna() & df[key_col].notna()
+                     & df[type_col].notna(), cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _pairs(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        nxt = sub.groupby(key_col, sort=False)[type_col].shift(-1)
+        keep = nxt.notna()
+        g = pd.DataFrame({"from_type": sub.loc[keep, type_col],
+                          "to_type": nxt[keep]}) \
+            .groupby(["from_type", "to_type"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_part, batch_format="pandas",
+                           batch_size=batch_size) \
+        .groupby("part").map_groups(_pairs, batch_format="pandas")
+    agg = balance(parts).groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"from_type": b.column("from_type"),
+                         "to_type": b.column("to_type"),
+                         "n": b.column("sum(n)")})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        t = column_dtype(ds, type_col)
+        return ray.data.from_arrow(pa.table(
+            {"from_type": pa.array([], t), "to_type": pa.array([], t),
+             "n": pa.array([], pa.int64())}))
+    return res
+
+
+# far-future sentinel for "target never seen"; must stay representable
+# in ns resolution too (pandas ns max is 2262) since from_pandas inputs
+# carry datetime64[ns]
+_FAR_FUTURE = np.datetime64("2260-01-01", "us")
+
+
+def time_to_first_target(ds, *, key_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         target: str = "purchase",
+                         batch_size: int = 65536):
+    """Per-key seconds from the FIRST event to the FIRST ``target``
+    event — the time-to-conversion funnel metric; keys that never reach
+    the target report NULL (SQL LEFT JOIN). NULL keys / ts drop.
+    Returns (key, seconds_to_target).
+
+    Scale shape: pure two-level MIN — each block collapses to one
+    (key, min ts, min target-ts) combiner row, the groupby is
+    key-bounded, and no co-location or sort is needed (min is
+    associative).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                key_col: [],
+                "first_ts": pd.array([], "datetime64[us]"),
+                "first_target": pd.array([], "datetime64[us]")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col, type_col]]
+        g = sub.groupby(key_col, sort=False).agg(
+            first_ts=(ts_col, "min")).reset_index()
+        tgt = sub.loc[sub[type_col] == target] \
+            .groupby(key_col, sort=False).agg(
+                first_target=(ts_col, "min")).reset_index()
+        out = g.merge(tgt, on=key_col, how="left")
+        # never-seen targets ride as a far-future SENTINEL, not NaT:
+        # a NaT/null partial poisons the cross-block Min (observed —
+        # ignore_nulls is not reliable across pandas-block partials)
+        out["first_target"] = out["first_target"].fillna(_FAR_FUTURE)
+        return out
+
+    parts = ds.map_batches(_partial, batch_format="pandas",
+                           batch_size=batch_size)
+    agg = balance(parts).groupby(key_col).aggregate(
+        Min("first_ts"), Min("first_target"))
+
+    def _final(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "seconds_to_target": []})
+        ft = df["min(first_target)"]
+        delta = (ft - df["min(first_ts)"]).dt.total_seconds() \
+            .to_numpy(np.float64)
+        delta[ft.to_numpy() >= _FAR_FUTURE] = np.nan  # never converted
+        return pd.DataFrame({key_col: df[key_col].to_numpy(),
+                             "seconds_to_target": delta})
+
+    res = agg.map_batches(_final, batch_format="pandas").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], column_dtype(ds, key_col)),
+             "seconds_to_target": pa.array([], pa.float64())}))
+    return res

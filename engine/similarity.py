@@ -422,3 +422,86 @@ def grouped_centroids(ds, *, group_col: str = "label",
     return ds.map_batches(_partial, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size) \
         .groupby("part").map_groups(_final, batch_format="pandas")
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding", dim: int,
+                         use_dims: int = None,
+                         batch_size: int = 4096):
+    """Sample covariance matrix of the embedding dimensions —
+    ``covar_samp(x_i, x_j)`` per dimension pair (upper triangle incl.
+    the diagonal), the distributed Gram-matrix building block for PCA /
+    whitening. Vectors whose length differs from ``dim`` drop (the
+    :func:`grouped_centroids` contract). Returns (i, j, cov, n) with
+    i <= j; NULL cov when n < 2.
+
+    Scale shape: each batch collapses to ONE d(d+1)/2 + d + 1 long-row
+    partial (X^T X upper triangle via one ``np.matmul``, the column
+    sums, and the row count) — the corpus streams once and only
+    O(d^2)-bounded rows shuffle; the final covariance assembles
+    worker-side over the single coalesced bounded block.
+    ``use_dims`` restricts to the first k dimensions (an oracle-sized
+    slice; the full-width gram is the same one matmul).
+    """
+    import pandas as pd
+    d = int(use_dims or dim)
+    iu, ju = np.triu_indices(d)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.float64())})
+        mat = _batch_matrix(batch, vec_col)
+        if not len(mat) or mat.shape[1] < dim:
+            # ragged object fallback: _batch_matrix stacks equal-length
+            # rows; unequal lengths raise before this — filter upstream
+            return empty
+        x = mat[:, :d]
+        g = x.T @ x
+        s = x.sum(axis=0)
+        n = len(x)
+        return pa.table({
+            "i": pa.array(np.r_[iu, np.arange(d), [-1]], pa.int64()),
+            "j": pa.array(np.r_[ju, np.full(d, -1), [-1]], pa.int64()),
+            "v": pa.array(np.r_[g[iu, ju], s, [float(n)]],
+                          pa.float64())})
+
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    agg = balance(parts).groupby(["i", "j"]).aggregate(Sum("v"))
+
+    def _cov(df):
+        if "i" not in df.columns or not len(df):
+            return pd.DataFrame({"i": pd.array([], dtype="int64"),
+                                 "j": pd.array([], dtype="int64"),
+                                 "cov": [],
+                                 "n": pd.array([], dtype="int64")})
+        v = dict(zip(zip(df["i"], df["j"]), df["sum(v)"]))
+        n = v.get((-1, -1), 0.0)
+        rows = {"i": [], "j": [], "cov": [], "n": []}
+        for a, b in zip(iu.tolist(), ju.tolist()):
+            sxy = v.get((a, b), 0.0)
+            sx = v.get((a, -1), 0.0)
+            sy = v.get((b, -1), 0.0)
+            cov = (sxy - sx * sy / n) / (n - 1.0) if n >= 2 else np.nan
+            rows["i"].append(a)
+            rows["j"].append(b)
+            rows["cov"].append(cov)
+            rows["n"].append(int(n))
+        out = pd.DataFrame(rows)
+        out["i"] = out["i"].astype(np.int64)
+        out["j"] = out["j"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    res = agg.repartition(1).map_batches(
+        _cov, batch_format="pandas", batch_size=None).materialize()
+    if res.count() == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"i": pa.array([], pa.int64()),
+             "j": pa.array([], pa.int64()),
+             "cov": pa.array([], pa.float64()),
+             "n": pa.array([], pa.int64())}))
+    return res

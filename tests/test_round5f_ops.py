@@ -150,3 +150,142 @@ class TestJaccardToQuery:
         assert np.isclose(got["jaccard"].iloc[0], 1.0)
         assert np.isclose(got["jaccard"].iloc[1], 2 / 3)
         assert got["jaccard"].iloc[2] == 0.0
+
+
+def _events(seed, n=3000, keys=60):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(1, n + 1, dtype=np.int64),
+        "user_id": rng.integers(0, keys, n),
+        "event_type": rng.choice(["click", "view", "purchase", None], n,
+                                 p=[0.4, 0.3, 0.2, 0.1]),
+        "ts": pd.to_datetime("2020-01-01") + pd.to_timedelta(
+            rng.integers(0, 3600 * 24 * 14, n), unit="s"),
+        "value": rng.uniform(-10, 110, n).round(3)})
+    df.loc[rng.choice(n, n // 10, replace=False), "value"] = np.nan
+    df.loc[rng.choice(n, n // 30, replace=False), "ts"] = pd.NaT
+    return df
+
+
+class TestEmbeddingCovariance:
+    @pytest.mark.parametrize("seed", [53, 141])
+    def test_differential_vs_numpy(self, seed, ray_session):
+        import ray.data
+        from engine.similarity import embedding_covariance
+        rng = np.random.default_rng(seed)
+        n, d = 500, 6
+        x = rng.normal(size=(n, d))
+        tbl = pa.table({"embedding": pa.array(
+            [row.tolist() for row in x],
+            pa.list_(pa.float32()))})
+        got = embedding_covariance(
+            ray.data.from_arrow(tbl), dim=d, batch_size=64) \
+            .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+        exp = np.cov(x.astype(np.float32).astype(np.float64),
+                     rowvar=False, ddof=1)
+        iu, ju = np.triu_indices(d)
+        assert got["i"].tolist() == iu.tolist()
+        assert got["j"].tolist() == ju.tolist()
+        assert (got["n"] == n).all()
+        assert np.allclose(got["cov"].to_numpy(), exp[iu, ju],
+                           atol=1e-9)
+
+    def test_single_row_reports_null(self, ray_session):
+        import ray.data
+        from engine.similarity import embedding_covariance
+        tbl = pa.table({"embedding": pa.array([[1.0, 2.0]],
+                                              pa.list_(pa.float32()))})
+        got = embedding_covariance(ray.data.from_arrow(tbl),
+                                   dim=2).to_pandas()
+        assert pd.isna(got["cov"]).all()
+        assert (got["n"] == 1).all()
+
+
+class TestEventTransitionMatrix:
+    @pytest.mark.parametrize("seed", [59, 149])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import event_transition_matrix
+        df = _events(seed)
+        got = event_transition_matrix(ray.data.from_pandas(df)) \
+            .to_pandas().sort_values(["from_type", "to_type"]) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with s as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                         partition by user_id
+                         order by ts, event_id) as nxt
+              from events
+              where ts is not null and user_id is not null
+                and event_type is not null)
+            select event_type as from_type, nxt as to_type,
+                   count(*)::bigint as n
+            from s where nxt is not null
+            group by from_type, to_type
+            order by from_type, to_type""").df()
+        assert got["from_type"].tolist() == exp["from_type"].tolist()
+        assert got["to_type"].tolist() == exp["to_type"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_total_transitions_invariant(self, ray_session):
+        import ray.data
+        from engine.relational import event_transition_matrix
+        df = _events(11)
+        sub = df[df["ts"].notna() & df["event_type"].notna()]
+        expected = sum(max(0, c - 1)
+                       for c in sub.groupby("user_id").size())
+        got = event_transition_matrix(ray.data.from_pandas(df)) \
+            .to_pandas()
+        assert int(got["n"].sum()) == expected
+
+
+class TestTimeToFirstTarget:
+    @pytest.mark.parametrize("seed", [61, 151])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import time_to_first_target
+        df = _events(seed)
+        got = time_to_first_target(
+            ray.data.from_pandas(df), target="purchase",
+            batch_size=64).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with f as (
+              select user_id, min(ts) as first_ts from events
+              where ts is not null and user_id is not null
+              group by user_id),
+            p as (
+              select user_id, min(ts) as first_purchase from events
+              where ts is not null and user_id is not null
+                and event_type = 'purchase'
+              group by user_id)
+            select f.user_id,
+                   epoch(p.first_purchase - f.first_ts)
+                       as seconds_to_target
+            from f left join p using (user_id)
+            order by user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert np.isclose(m["seconds_to_target_g"].to_numpy(),
+                          m["seconds_to_target_e"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_never_converting_key_is_null(self, ray_session):
+        import ray.data
+        from engine.relational import time_to_first_target
+        df = pd.DataFrame({
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(["2021-01-01 00:00",
+                                  "2021-01-01 01:00",
+                                  "2021-01-01 00:00"]),
+            "event_type": ["click", "purchase", "click"]})
+        got = time_to_first_target(
+            ray.data.from_pandas(df), target="purchase").to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert got["seconds_to_target"].iloc[0] == 3600.0
+        assert np.isnan(got["seconds_to_target"].iloc[1])
