@@ -2132,6 +2132,32 @@ def _q_time_to_first_purchase(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
 
 
+def _q_daily_active_users(sf_dir: str):
+    """Daily active users (distinct users per calendar day)."""
+    from engine.relational import daily_active_users
+    return daily_active_users(
+        _read(sf_dir, "events", columns=["user_id", "ts"])).sort("day")
+
+
+def _q_peak_hourly_rate(sf_dir: str):
+    """Per-user burst detector: max events in any single clock hour."""
+    from engine.relational import peak_hourly_rate
+    return peak_hourly_rate(
+        _read(sf_dir, "events", columns=["user_id", "ts"])) \
+        .sort("user_id")
+
+
+def _q_orders_per_customer_histogram(sf_dir: str):
+    """Zero-inflated engagement histogram: customers per order count,
+    INCLUDING customers with no orders (zero bin by arithmetic — no
+    anti-join ships rows)."""
+    from engine.relational import orders_per_customer_histogram
+    return orders_per_customer_histogram(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        _read(sf_dir, "customer", columns=["c_custkey"])) \
+        .sort("n_orders")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2263,6 +2289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _q_embedding_covariance,
         "event_transition_matrix": _q_event_transition_matrix,
         "time_to_first_purchase": _q_time_to_first_purchase,
+        "daily_active_users": _q_daily_active_users,
+        "peak_hourly_rate": _q_peak_hourly_rate,
+        "orders_per_customer_histogram": _q_orders_per_customer_histogram,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2523,6 +2552,33 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(p.first_purchase - f.first_ts), 4)
                        as seconds_to_purchase
             from f left join p using (user_id) order by user_id
+        """,
+        "daily_active_users": """
+            select strftime(ts, '%Y-%m-%d') as day,
+                   count(distinct user_id)::bigint as dau
+            from events
+            where ts is not null and user_id is not null
+            group by day order by day
+        """,
+        "peak_hourly_rate": """
+            with c as (
+              select user_id, date_trunc('hour', ts) as h,
+                     count(*)::bigint as n
+              from events
+              where ts is not null and user_id is not null
+              group by user_id, h)
+            select user_id, max(n)::bigint as peak_events_per_hour
+            from c group by user_id order by user_id
+        """,
+        "orders_per_customer_histogram": """
+            with o as (
+              select o_custkey, count(*)::bigint as n
+              from orders where o_custkey is not null
+              group by o_custkey)
+            select coalesce(o.n, 0)::bigint as n_orders,
+                   count(*)::bigint as n_customers
+            from customer c left join o on c.c_custkey = o.o_custkey
+            group by n_orders order by n_orders
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

@@ -3230,3 +3230,167 @@ def time_to_first_target(ds, *, key_col: str = "user_id",
             {key_col: pa.array([], column_dtype(ds, key_col)),
              "seconds_to_target": pa.array([], pa.float64())}))
     return res
+
+
+def daily_active_users(ds, *, key_col: str = "user_id",
+                       ts_col: str = "ts", batch_size: int = 65536):
+    """Daily active users — distinct keys per calendar day (the DAU
+    time series). NULL keys / ts drop. Returns (day 'YYYY-MM-DD', dau).
+
+    Scale shape: per-batch DISTINCT (day, key) pairs are the combiner;
+    pairs shuffle ONCE on day hash and each day's cross-batch dedup +
+    count happens in its partition — the distinct-set itself never
+    re-shuffles.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _pairs(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({"day": [], key_col: [],
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]]
+        g = pd.DataFrame({
+            "day": np.datetime_as_string(
+                sub[ts_col].to_numpy().astype("datetime64[D]")),
+            key_col: sub[key_col]}).drop_duplicates()
+        g["part"] = (hash64(g["day"].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _count(df):
+        if "day" not in df.columns or not len(df):
+            return pd.DataFrame({"day": [],
+                                 "dau": pd.array([], dtype="int64")})
+        g = df[["day", key_col]].drop_duplicates() \
+            .groupby("day", sort=False).size().rename("dau") \
+            .reset_index()
+        g["dau"] = g["dau"].astype(np.int64)
+        return g
+
+    return ds.map_batches(_pairs, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_count, batch_format="pandas")
+
+
+def peak_hourly_rate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     batch_size: int = 65536):
+    """Per-key burst detector: the maximum events in any single clock
+    hour — ``max`` over per-(key, hour-bucket) counts. NULL keys / ts
+    drop. Returns (key, peak_events_per_hour).
+
+    Scale shape: the (key, hour) count combiner bounds the shuffle; the
+    cross-batch cell merge + per-key max run once per coarse key
+    partition.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _cells(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "hour": pd.array([], "datetime64[us]"),
+                                 "n": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]]
+        g = pd.DataFrame({key_col: sub[key_col],
+                          "hour": sub[ts_col].dt.floor("h")}) \
+            .groupby([key_col, "hour"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (hash64(g[key_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _peak(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "peak_events_per_hour":
+                                     pd.array([], dtype="int64")})
+        cells = df.groupby([key_col, "hour"], sort=False)["n"].sum() \
+            .reset_index()
+        g = cells.groupby(key_col, sort=False)["n"].max()
+        return pd.DataFrame({
+            key_col: g.index.to_numpy(),
+            "peak_events_per_hour": g.to_numpy(np.int64)})
+
+    return ds.map_batches(_cells, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_peak, batch_format="pandas")
+
+
+def orders_per_customer_histogram(orders_ds, customer_ds, *,
+                                  fk_col: str = "o_custkey",
+                                  pk_col: str = "c_custkey",
+                                  batch_size: int = 65536):
+    """Distribution of per-customer order counts INCLUDING the zero
+    bin — ``LEFT JOIN + COALESCE(n, 0)`` parity, the classic
+    zero-inflated engagement histogram. Returns
+    (n_orders, n_customers).
+
+    Scale shape: per-key counts come from the combiner + key groupby;
+    a semi-join against the dimension keys drops DANGLING foreign keys
+    (they must not masquerade as customers — the corpus has them, see
+    referential_orders); the histogram over the surviving counts is
+    count-of-counts, and the zero bin is arithmetic — total customers
+    minus customers with >= 1 order — so no anti-join ships rows.
+    """
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if fk_col not in df.columns or not len(df):
+            return pd.DataFrame({fk_col: [],
+                                 "n": pd.array([], dtype="int64")})
+        sub = df.loc[df[fk_col].notna(), [fk_col]]
+        g = sub.groupby(fk_col, sort=False).size().rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    per_key = balance(orders_ds.map_batches(
+        _partial, batch_format="pandas", batch_size=batch_size)) \
+        .groupby(fk_col).aggregate(Sum("n"))
+    per_key = semi_join(per_key, customer_ds, key_col=fk_col,
+                        right_key_col=pk_col)
+
+    def _coc(df):
+        if not len(df) or "sum(n)" not in df.columns:
+            return pd.DataFrame({"n_orders": pd.array([], dtype="int64"),
+                                 "cnt": pd.array([], dtype="int64")})
+        g = df.groupby("sum(n)", sort=False).size().rename("cnt") \
+            .reset_index()
+        g.columns = ["n_orders", "cnt"]
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    per_key = per_key.materialize()
+    n_with_orders = per_key.count()
+    total_customers = customer_ds.count()
+    hist = balance(per_key.map_batches(
+        _coc, batch_format="pandas", batch_size=None)) \
+        .groupby("n_orders").aggregate(Sum("cnt"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({"n_orders": b.column("n_orders"),
+                         "n_customers": b.column("sum(cnt)")})
+
+    res = hist.map_batches(_final, batch_format="pyarrow").materialize()
+    zero = int(total_customers - n_with_orders)
+    zero_tbl = pa.table({"n_orders": pa.array([0], pa.int64()),
+                         "n_customers": pa.array([zero], pa.int64())})
+    if res.count() == 0:
+        return ray.data.from_arrow(zero_tbl) if zero > 0 else \
+            ray.data.from_arrow(zero_tbl.slice(0, 0))
+    if zero > 0:
+        res = res.union(ray.data.from_arrow(zero_tbl))
+    return res

@@ -289,3 +289,83 @@ class TestTimeToFirstTarget:
             .sort_values("user_id").reset_index(drop=True)
         assert got["seconds_to_target"].iloc[0] == 3600.0
         assert np.isnan(got["seconds_to_target"].iloc[1])
+
+
+class TestDailyActiveUsers:
+    @pytest.mark.parametrize("seed", [67, 157])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import daily_active_users
+        df = _events(seed)
+        got = daily_active_users(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            select strftime(ts, '%Y-%m-%d') as day,
+                   count(distinct user_id)::bigint as dau
+            from events
+            where ts is not null and user_id is not null
+            group by day order by day""").df()
+        assert got["day"].tolist() == exp["day"].tolist()
+        assert got["dau"].tolist() == exp["dau"].tolist()
+
+
+class TestPeakHourlyRate:
+    @pytest.mark.parametrize("seed", [71, 163])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import peak_hourly_rate
+        df = _events(seed)
+        got = peak_hourly_rate(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with c as (
+              select user_id, date_trunc('hour', ts) as h,
+                     count(*)::bigint as n
+              from events
+              where ts is not null and user_id is not null
+              group by user_id, h)
+            select user_id, max(n)::bigint as peak_events_per_hour
+            from c group by user_id order by user_id""").df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["peak_events_per_hour"].tolist() \
+            == exp["peak_events_per_hour"].tolist()
+
+
+class TestOrdersPerCustomerHistogram:
+    def test_differential_vs_duckdb_with_dangling_and_zero(
+            self, ray_session):
+        import ray.data
+        from engine.relational import orders_per_customer_histogram
+        rng = np.random.default_rng(23)
+        customer = pd.DataFrame({
+            "c_custkey": np.arange(1, 101, dtype=np.int64)})
+        # keys 1..80 order; 200 is DANGLING; 81..100 never order
+        fk = np.r_[rng.integers(1, 81, 400), [200, 200]]
+        orders = pd.DataFrame({"o_custkey": fk.astype(np.int64)})
+        got = orders_per_customer_histogram(
+            ray.data.from_pandas(orders),
+            ray.data.from_pandas(customer)).to_pandas() \
+            .sort_values("n_orders").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("orders", orders)
+        con.register("customer", customer)
+        exp = con.execute("""
+            with o as (
+              select o_custkey, count(*)::bigint as n
+              from orders where o_custkey is not null
+              group by o_custkey)
+            select coalesce(o.n, 0)::bigint as n_orders,
+                   count(*)::bigint as n_customers
+            from customer c left join o on c.c_custkey = o.o_custkey
+            group by n_orders order by n_orders""").df()
+        assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+        assert got["n_customers"].tolist() == exp["n_customers"].tolist()
+        # the zero bin exists and the dangling key is not a customer
+        assert got["n_orders"].iloc[0] == 0
+        assert int(got["n_customers"].sum()) == len(customer)
