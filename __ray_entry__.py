@@ -2158,6 +2158,91 @@ def _q_orders_per_customer_histogram(sf_dir: str):
         .sort("n_orders")
 
 
+def _q_doc_mean_idf(sf_dir: str):
+    """Per-document lexical rarity (mean ln(N/df) over distinct
+    tokens)."""
+    from engine.textstats import doc_mean_idf
+    out = doc_mean_idf(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("mean_idf").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "mean_idf": pa.array([None if np.isnan(x) else float(x)
+                                  for x in v], pa.float64()),
+            "n_distinct": b.column("n_distinct")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_priority_share_by_month(sf_dir: str):
+    """Order-priority mix per month — counts plus each priority's share
+    of its month."""
+    from engine.relational import share_within_group
+
+    def _month(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        od = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = ~pd.isna(od)
+        sub = b.filter(pa.array(keep))
+        month = np.datetime_as_string(
+            sub.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]"))
+        return pa.table({"month": pa.array(month, pa.string()),
+                         "pri": sub.column("o_orderpriority")})
+
+    keyed = _read(sf_dir, "orders",
+                  columns=["o_orderdate", "o_orderpriority"]) \
+        .map_batches(_month, batch_format="pyarrow")
+    out = share_within_group(keyed, outer_col="month", inner_col="pri")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": b.column("month"), "pri": b.column("pri"),
+            "n": b.column("n"),
+            "share": pa.array(_round_half_away(
+                b.column("share").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort(["month", "pri"])
+
+
+def _q_user_repeat_rate(sf_dir: str):
+    """Per-user fraction of consecutive same-type event pairs."""
+    from engine.relational import user_repeat_rate
+    out = user_repeat_rate(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "event_type"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("repeat_rate").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "n_transitions": b.column("n_transitions"),
+            "repeat_rate": pa.array(
+                [None if np.isnan(x) else float(x) for x in v],
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
+def _q_user_value_concentration(sf_dir: str):
+    """Per-user share of the single largest event value in the user's
+    total (associative max/sum combiner)."""
+    from engine.relational import user_value_concentration
+    out = user_value_concentration(
+        _read(sf_dir, "events", columns=["user_id", "value"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("max_share").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "max_share": pa.array([None if np.isnan(x) else float(x)
+                                   for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2292,6 +2377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _q_daily_active_users,
         "peak_hourly_rate": _q_peak_hourly_rate,
         "orders_per_customer_histogram": _q_orders_per_customer_histogram,
+        "doc_mean_idf": _q_doc_mean_idf,
+        "priority_share_by_month": _q_priority_share_by_month,
+        "user_repeat_rate": _q_user_repeat_rate,
+        "user_value_concentration": _q_user_value_concentration,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2579,6 +2668,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n_customers
             from customer c left join o on c.c_custkey = o.o_custkey
             group by n_orders order by n_orders
+        """,
+        "doc_mean_idf": r"""
+            with tok as (
+              select doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) as t
+              from documents),
+            dt as (select distinct doc_id, t from tok where t <> ''),
+            df as (select t, count(*)::double as df from dt group by t),
+            n as (select count(*)::double as n from documents)
+            select dt.doc_id, round(avg(ln(n.n / df.df)), 6) as mean_idf,
+                   count(*)::bigint as n_distinct
+            from dt join df using (t), n
+            group by dt.doc_id order by dt.doc_id
+        """,
+        "priority_share_by_month": """
+            with c as (
+              select strftime(o_orderdate, '%Y-%m') as month,
+                     o_orderpriority as pri, count(*)::bigint as n
+              from orders
+              where o_orderdate is not null
+                and o_orderpriority is not null
+              group by month, pri)
+            select month, pri, n,
+                   round(n / sum(n) over (partition by month), 6)
+                       as share
+            from c order by month, pri
+        """,
+        "user_repeat_rate": """
+            with s as (
+              select user_id, event_type,
+                     lead(event_type) over (
+                         partition by user_id
+                         order by ts, event_id) as nxt
+              from events
+              where ts is not null and user_id is not null
+                and event_type is not null)
+            select user_id,
+                   count(*) filter (nxt is not null)::bigint
+                       as n_transitions,
+                   round(count(*) filter (nxt = event_type)::double
+                         / nullif(count(*) filter (nxt is not null), 0),
+                         6) as repeat_rate
+            from s group by user_id order by user_id
+        """,
+        "user_value_concentration": """
+            select user_id,
+                   round(max(value) / nullif(sum(value), 0), 6)
+                       as max_share
+            from events
+            where user_id is not null and value is not null
+            group by user_id order by user_id
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

@@ -3394,3 +3394,164 @@ def orders_per_customer_histogram(orders_ds, customer_ds, *,
     if zero > 0:
         res = res.union(ray.data.from_arrow(zero_tbl))
     return res
+
+
+def share_within_group(ds, *, outer_col: str, inner_col: str,
+                       batch_size: int = 65536):
+    """Normalized composition: counts per (outer, inner) plus each
+    cell's SHARE of its outer group — ``n / sum(n) OVER (PARTITION BY
+    outer)`` parity. NULL members drop. Returns
+    (outer, inner, n, share).
+
+    Scale shape: the two-key count combiner bounds the shuffle; the
+    share transform runs per coarse OUTER-hash partition over the
+    (outer x inner)-bounded aggregate — cheap by construction.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks, balance
+    P = reduce_blocks()
+
+    def _partial(df):
+        if outer_col not in df.columns or not len(df):
+            return pd.DataFrame({outer_col: [], inner_col: [],
+                                 "n": pd.array([], dtype="int64")})
+        sub = df[[outer_col, inner_col]].dropna()
+        g = sub.groupby([outer_col, inner_col], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = balance(ds.map_batches(_partial, batch_format="pandas",
+                                 batch_size=batch_size)) \
+        .groupby([outer_col, inner_col]).aggregate(Sum("n"))
+
+    def _part(df):
+        if outer_col not in df.columns or not len(df):
+            return pd.DataFrame({outer_col: [], inner_col: [],
+                                 "sum(n)": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int64")})
+        out = df.copy()
+        out["part"] = (hash64(out[outer_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _share(df):
+        if outer_col not in df.columns or not len(df):
+            return pd.DataFrame({outer_col: [], inner_col: [],
+                                 "n": pd.array([], dtype="int64"),
+                                 "share": []})
+        n = df["sum(n)"].to_numpy(np.float64)
+        tot = df.groupby(outer_col, sort=False)["sum(n)"] \
+            .transform("sum").to_numpy(np.float64)
+        return pd.DataFrame({outer_col: df[outer_col].to_numpy(),
+                             inner_col: df[inner_col].to_numpy(),
+                             "n": n.astype(np.int64),
+                             "share": n / tot})
+
+    return agg.map_batches(_part, batch_format="pandas") \
+        .groupby("part").map_groups(_share, batch_format="pandas")
+
+
+def user_repeat_rate(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id",
+                     batch_size: int = 65536):
+    """Per-key behavioral stickiness: the fraction of consecutive event
+    pairs with the SAME type — ``count(next = type) /
+    count(transitions)`` under the (ts, id) order; single-event keys
+    report (0, NULL). NULL keys / ts / types drop. Returns
+    (key, n_transitions, repeat_rate).
+
+    Same key-partition adjacency as :func:`event_transition_matrix`,
+    reduced per key instead of per pair.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+    cols = [id_col, key_col, ts_col, type_col]
+
+    def _part(df):
+        out = df.loc[df[ts_col].notna() & df[key_col].notna()
+                     & df[type_col].notna(), cols].copy()
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _rate(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                key_col: [],
+                "n_transitions": pd.array([], dtype="int64"),
+                "repeat_rate": []})
+        sub = df.sort_values([key_col, ts_col, id_col],
+                             kind="mergesort").reset_index(drop=True)
+        nxt = sub.groupby(key_col, sort=False)[type_col].shift(-1)
+        has = nxt.notna()
+        rep = has & (nxt == sub[type_col])
+        f = pd.DataFrame({"t": has.astype(np.int64),
+                          "r": rep.astype(np.int64)})
+        g = f.groupby(sub[key_col], sort=False).sum()
+        t = g["t"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rate = np.where(t > 0, g["r"].to_numpy(np.float64) / t,
+                            np.nan)
+        out = pd.DataFrame({"n_transitions":
+                            g["t"].to_numpy(np.int64),
+                            "repeat_rate": rate})
+        out.insert(0, key_col, g.index.to_numpy())
+        return out
+
+    return ds.map_batches(_part, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_rate, batch_format="pandas")
+
+
+def user_value_concentration(ds, *, key_col: str = "user_id",
+                             val_col: str = "value",
+                             batch_size: int = 65536):
+    """Per-key value concentration: the single largest value's share of
+    the key's total — ``max(v) / NULLIF(sum(v), 0)``. NULL keys /
+    values drop. Returns (key, max_share).
+
+    Pure two-level associative aggregate (max and sum both combine):
+    one (key, max, sum) combiner row per block, key-bounded groupby, no
+    co-location or sort.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+    from engine.shuffle import balance
+
+    def _partial(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "mx": [], "s": []})
+        sub = df[[key_col, val_col]].dropna()
+        g = sub.groupby(key_col, sort=False)[val_col] \
+            .agg(["max", "sum"]).reset_index()
+        g.columns = [key_col, "mx", "s"]
+        return g
+
+    agg = balance(ds.map_batches(_partial, batch_format="pandas",
+                                 batch_size=batch_size)) \
+        .groupby(key_col).aggregate(Max("mx"), Sum("s"))
+
+    def _final(b: pa.Table) -> pa.Table:
+        mx = b.column("max(mx)").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = np.where(s != 0.0, mx / s, np.nan)
+        return pa.table({
+            key_col: b.column(key_col),
+            "max_share": pa.array([None if np.isnan(x) else float(x)
+                                   for x in share], pa.float64())})
+
+    res = agg.map_batches(_final, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        import ray.data
+        from engine.shuffle import column_dtype
+        return ray.data.from_arrow(pa.table(
+            {key_col: pa.array([], column_dtype(ds, key_col)),
+             "max_share": pa.array([], pa.float64())}))
+    return res

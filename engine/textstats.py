@@ -1110,3 +1110,116 @@ def jaccard_to_query(ds, *, query_tokens, text_col: str = "text",
                             concurrency=concurrency)
     return scored.sort(["jaccard", key_col],
                        descending=[True, False]).limit(k)
+
+
+def doc_mean_idf(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                 vocab_broadcast_limit: int = 5_000_000,
+                 batch_size: int = 8192, concurrency=None):
+    """Per-document lexical rarity: the mean inverse document frequency
+    ``avg(ln(N / df))`` over the doc's DISTINCT tokens — high values
+    flag unusual vocabulary, low values boilerplate. Documents with no
+    tokens emit no row (SQL inner-join parity). Returns
+    (key, mean_idf, n_distinct).
+
+    Scale shape (the :func:`tfidf_topk` gate): the df table comes from
+    the :func:`token_doc_frequency` combiner; below
+    ``vocab_broadcast_limit`` distinct tokens it broadcasts once
+    (sorted-array searchsorted, per-doc half map-only), above it the
+    per-batch distinct (doc, token) pairs hash-join df on token and a
+    coarse key-partition groupby averages — both routes exact.
+    """
+    import ray
+    import pandas as pd
+    n_docs = ds.count()
+    df_tab = token_doc_frequency(ds, text_col=text_col,
+                                 batch_size=batch_size,
+                                 concurrency=concurrency).materialize()
+    vocab_n = df_tab.count()
+    from engine.kernels import _flatten, _valid_mask
+
+    def _pairs(batch: pa.Table) -> "pd.DataFrame":
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat, parent, _ = _flatten(toks, _valid_mask(toks))
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        parent = parent[keep]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)[keep]
+        if not len(parent):
+            return pd.DataFrame({key_col: [], "token": []})
+        p, c = np.unique(np.stack([parent, codes]).astype(np.int64),
+                         axis=1)
+        dic = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({key_col: keys[p], "token": dic[c]})
+
+    if vocab_n <= vocab_broadcast_limit:
+        dfp = df_tab.to_pandas().sort_values("token")
+        ref = ray.put((dfp["token"].to_numpy(),
+                       dfp["df"].to_numpy().astype(np.float64)))
+
+        def _score(batch: pa.Table) -> "pd.DataFrame":
+            toks_, dfs_ = ray.get(ref)
+            t = _pairs(batch)
+            if not len(t):
+                return pd.DataFrame({key_col: [], "mean_idf": [],
+                                     "n_distinct":
+                                         pd.array([], dtype="int64")})
+            pos = np.minimum(np.searchsorted(toks_,
+                                             t["token"].to_numpy()),
+                             len(dfs_) - 1)
+            idf = np.log(n_docs / dfs_[pos])
+            g = pd.Series(idf).groupby(t[key_col].to_numpy(),
+                                       sort=False)
+            out = pd.DataFrame({
+                "mean_idf": g.mean().to_numpy(np.float64),
+                "n_distinct": g.size().to_numpy(np.int64)})
+            out.insert(0, key_col, g.mean().index.to_numpy())
+            return out
+
+        return ds.map_batches(_score, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=batch_size,
+                              concurrency=concurrency)
+
+    # distributed fall-through: distinct pairs join df on token, then a
+    # coarse key-partition mean (per-doc rows co-locate)
+    from engine.sketches import hash64
+    from engine.shuffle import join_partitions, reduce_blocks
+    pairs_ds = ds.map_batches(
+        lambda b: _pairs(b), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=batch_size,
+        concurrency=concurrency)
+    joined = pairs_ds.join(df_tab, join_type="inner",
+                           num_partitions=join_partitions(),
+                           on=("token",))
+    P = reduce_blocks()
+
+    def _part(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "idf": [],
+                                 "part": pd.array([], dtype="int64")})
+        out = pd.DataFrame({
+            key_col: df[key_col],
+            "idf": np.log(n_docs / df["df"].to_numpy(np.float64))})
+        out["part"] = (hash64(out[key_col].to_numpy())
+                       % np.uint64(P)).astype(np.int64)
+        return out
+
+    def _mean(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [], "mean_idf": [],
+                                 "n_distinct":
+                                     pd.array([], dtype="int64")})
+        g = df.groupby(key_col, sort=False)["idf"]
+        out = pd.DataFrame({
+            "mean_idf": g.mean().to_numpy(np.float64),
+            "n_distinct": g.size().to_numpy(np.int64)})
+        out.insert(0, key_col, g.mean().index.to_numpy())
+        return out
+
+    return joined.map_batches(_part, batch_format="pandas") \
+        .groupby("part").map_groups(_mean, batch_format="pandas")
