@@ -2243,6 +2243,54 @@ def _q_user_value_concentration(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow").sort("user_id")
 
 
+def _q_daily_conversion_ratio(sf_dir: str):
+    """Daily purchases-per-click conversion ratio time series."""
+    from engine.relational import daily_ratio
+    out = daily_ratio(
+        _read(sf_dir, "events", columns=["ts", "event_type"]))
+
+    def _round(b: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            b.column("ratio").to_numpy(zero_copy_only=False), 6)
+        return pa.table({
+            "day": b.column("day"), "n_num": b.column("n_num"),
+            "n_den": b.column("n_den"),
+            "ratio": pa.array([None if np.isnan(x) else float(x)
+                               for x in v], pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow").sort("day")
+
+
+def _q_discount_by_qty_bucket(sf_dir: str):
+    """Mean discount per 10-unit quantity bucket — grouped_count_mean
+    over a computed bin (composition)."""
+    from engine.stats import grouped_count_mean
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            keep = ~np.isnan(q)
+        sub = b.filter(pa.array(keep))
+        bucket = np.floor(q[keep] / 10.0).astype(np.int64)
+        return pa.table({"qty_bucket": pa.array(bucket, pa.int64()),
+                         "l_discount": sub.column("l_discount")})
+
+    keyed = _read(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_discount"]) \
+        .map_batches(_bucket, batch_format="pyarrow")
+    out = grouped_count_mean(keyed, group_cols=["qty_bucket"],
+                             value_col="l_discount")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "qty_bucket": b.column("qty_bucket"),
+            "n": b.column("n"),
+            "mean_discount": pa.array(_round_half_away(
+                b.column("mean").to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+    return out.map_batches(_round, batch_format="pyarrow") \
+        .sort("qty_bucket")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2381,6 +2429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_share_by_month": _q_priority_share_by_month,
         "user_repeat_rate": _q_user_repeat_rate,
         "user_value_concentration": _q_user_value_concentration,
+        "daily_conversion_ratio": _q_daily_conversion_ratio,
+        "discount_by_qty_bucket": _q_discount_by_qty_bucket,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2720,6 +2770,29 @@ def oracle_sql() -> dict[str, str]:
             from events
             where user_id is not null and value is not null
             group by user_id order by user_id
+        """,
+        "daily_conversion_ratio": """
+            with c as (
+              select strftime(ts, '%Y-%m-%d') as day,
+                     count(*) filter (event_type = 'purchase')::bigint
+                         as n_num,
+                     count(*) filter (event_type = 'click')::bigint
+                         as n_den
+              from events
+              where ts is not null
+                and event_type in ('purchase', 'click')
+              group by day)
+            select day, n_num, n_den,
+                   round(n_num::double / nullif(n_den, 0), 6) as ratio
+            from c order by day
+        """,
+        "discount_by_qty_bucket": """
+            select floor(l_quantity / 10.0)::bigint as qty_bucket,
+                   count(*)::bigint as n,
+                   round(avg(l_discount), 6) as mean_discount
+            from lineitem
+            where l_quantity is not null and l_discount is not null
+            group by qty_bucket order by qty_bucket
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

@@ -3555,3 +3555,66 @@ def user_value_concentration(ds, *, key_col: str = "user_id",
             {key_col: pa.array([], column_dtype(ds, key_col)),
              "max_share": pa.array([], pa.float64())}))
     return res
+
+
+def daily_ratio(ds, *, ts_col: str = "ts", type_col: str = "event_type",
+                num_type: str = "purchase", den_type: str = "click",
+                batch_size: int = 65536):
+    """Daily ratio of two event types — ``count(num) / NULLIF(
+    count(den), 0)`` per calendar day (the conversion-rate time
+    series). Days where neither type occurs emit no row; a day with
+    numerators but no denominators reports NULL. NULL ts/type drop.
+    Returns (day 'YYYY-MM-DD', n_num, n_den, ratio).
+
+    Scale shape: one (day, type) count combiner; the two series align
+    inside the day's coarse partition — no join, no pivot shuffle.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _partial(df):
+        if type_col not in df.columns or not len(df):
+            return pd.DataFrame({"day": [], "tag": [],
+                                 "n": pd.array([], dtype="int64"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna()
+                     & df[type_col].isin([num_type, den_type]),
+                     [ts_col, type_col]]
+        g = pd.DataFrame({
+            "day": np.datetime_as_string(
+                sub[ts_col].to_numpy().astype("datetime64[D]")),
+            "tag": (sub[type_col] == num_type).to_numpy()
+            .astype(np.int64)}) \
+            .groupby(["day", "tag"], sort=False) \
+            .size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (hash64(g["day"].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _ratio(df):
+        if "day" not in df.columns or not len(df):
+            return pd.DataFrame({"day": [],
+                                 "n_num": pd.array([], dtype="int64"),
+                                 "n_den": pd.array([], dtype="int64"),
+                                 "ratio": []})
+        cells = df.groupby(["day", "tag"], sort=False)["n"].sum() \
+            .reset_index()
+        piv = cells.pivot_table(index="day", columns="tag", values="n",
+                                aggfunc="sum", fill_value=0)
+        num = piv[1].to_numpy(np.float64) if 1 in piv.columns \
+            else np.zeros(len(piv))
+        den = piv[0].to_numpy(np.float64) if 0 in piv.columns \
+            else np.zeros(len(piv))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(den > 0, num / den, np.nan)
+        return pd.DataFrame({"day": piv.index.to_numpy(),
+                             "n_num": num.astype(np.int64),
+                             "n_den": den.astype(np.int64),
+                             "ratio": ratio})
+
+    return ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_ratio, batch_format="pandas")

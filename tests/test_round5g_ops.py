@@ -184,3 +184,47 @@ class TestUserValueConcentration:
         got = user_value_concentration(
             ray.data.from_pandas(df)).to_pandas()
         assert np.isnan(got["max_share"].iloc[0])
+
+
+class TestDailyRatio:
+    @pytest.mark.parametrize("seed", [93, 181])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import daily_ratio
+        df = _events(seed)
+        got = daily_ratio(ray.data.from_pandas(df), batch_size=64) \
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with c as (
+              select strftime(ts, '%Y-%m-%d') as day,
+                     count(*) filter (event_type = 'purchase')::bigint
+                         as n_num,
+                     count(*) filter (event_type = 'click')::bigint
+                         as n_den
+              from events
+              where ts is not null
+                and event_type in ('purchase', 'click')
+              group by day)
+            select day, n_num, n_den,
+                   n_num::double / nullif(n_den, 0) as ratio
+            from c order by day""").df()
+        assert got["day"].tolist() == exp["day"].tolist()
+        assert got["n_num"].tolist() == exp["n_num"].tolist()
+        assert got["n_den"].tolist() == exp["n_den"].tolist()
+        assert np.isclose(got["ratio"].to_numpy(),
+                          exp["ratio"].to_numpy(),
+                          equal_nan=True).all()
+
+    def test_zero_denominator_reports_null(self, ray_session):
+        import ray.data
+        from engine.relational import daily_ratio
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(["2021-01-01", "2021-01-02",
+                                  "2021-01-02"]),
+            "event_type": ["purchase", "click", "purchase"]})
+        got = daily_ratio(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("day").reset_index(drop=True)
+        assert np.isnan(got["ratio"].iloc[0])  # purchase, no click
+        assert got["ratio"].iloc[1] == 1.0
