@@ -2291,6 +2291,15 @@ def _q_discount_by_qty_bucket(sf_dir: str):
         .sort("qty_bucket")
 
 
+def _q_longest_daily_streak(sf_dir: str):
+    """Per-user longest consecutive-active-day streak + island count
+    (gaps-and-islands)."""
+    from engine.relational import longest_daily_streak
+    return longest_daily_streak(
+        _read(sf_dir, "events", columns=["user_id", "ts"])) \
+        .sort("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: synthesize the interleaved spans corpus
     from documents.parquet, validate it against the FIXTURES §3 schema,
@@ -2431,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_concentration": _q_user_value_concentration,
         "daily_conversion_ratio": _q_daily_conversion_ratio,
         "discount_by_qty_bucket": _q_discount_by_qty_bucket,
+        "longest_daily_streak": _q_longest_daily_streak,
         "semi_join_events_purchases": _q_semi_join_events,
         "anti_join_events_purchases": _q_anti_join_events,
         "percentile_rank_events": _q_percentile_rank_events,
@@ -2793,6 +2803,24 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_quantity is not null and l_discount is not null
             group by qty_bucket order by qty_bucket
+        """,
+        "longest_daily_streak": """
+            with d as (
+              select distinct user_id, date_trunc('day', ts) as day
+              from events
+              where ts is not null and user_id is not null),
+            r as (
+              select user_id, day,
+                     row_number() over (partition by user_id
+                                        order by day) as rn
+              from d),
+            g as (select user_id, day - rn * interval 1 day as grp
+                  from r),
+            s as (select user_id, count(*)::bigint as len
+                  from g group by user_id, grp)
+            select user_id, max(len)::bigint as longest_streak,
+                   count(*)::bigint as n_streaks
+            from s group by user_id order by user_id
         """,
         "referential_orders": """
             select count(*)::bigint as n_dangling from orders

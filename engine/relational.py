@@ -3618,3 +3618,67 @@ def daily_ratio(ds, *, ts_col: str = "ts", type_col: str = "event_type",
     return ds.map_batches(_partial, batch_format="pandas",
                           batch_size=batch_size) \
         .groupby("part").map_groups(_ratio, batch_format="pandas")
+
+
+def longest_daily_streak(ds, *, key_col: str = "user_id",
+                         ts_col: str = "ts", batch_size: int = 65536):
+    """Gaps-and-islands: each key's LONGEST run of consecutive active
+    calendar days, plus the island count — SQL's classic
+    ``day - row_number() * interval`` grouping trick. NULL keys / ts
+    drop. Returns (key, longest_streak, n_streaks).
+
+    Scale shape: per-batch DISTINCT (key, day) pairs shuffle once on
+    key hash; inside each coarse partition one sort + two cumsum
+    passes resolve the islands (break = new key OR day gap != 1), with
+    no per-key loop — run lengths come from break-index differences.
+    """
+    import pandas as pd
+    from engine.sketches import hash64
+    from engine.shuffle import reduce_blocks
+    P = reduce_blocks()
+
+    def _days(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({key_col: [],
+                                 "day": pd.array([], "datetime64[us]"),
+                                 "part": pd.array([], dtype="int64")})
+        sub = df.loc[df[ts_col].notna() & df[key_col].notna(),
+                     [key_col, ts_col]]
+        g = pd.DataFrame({key_col: sub[key_col],
+                          "day": sub[ts_col].dt.floor("D")}) \
+            .drop_duplicates()
+        g["part"] = (hash64(g[key_col].to_numpy())
+                     % np.uint64(P)).astype(np.int64)
+        return g
+
+    def _streaks(df):
+        if key_col not in df.columns or not len(df):
+            return pd.DataFrame({
+                key_col: [],
+                "longest_streak": pd.array([], dtype="int64"),
+                "n_streaks": pd.array([], dtype="int64")})
+        sub = df[[key_col, "day"]].drop_duplicates() \
+            .sort_values([key_col, "day"],
+                         kind="mergesort").reset_index(drop=True)
+        n = len(sub)
+        keys = sub[key_col].to_numpy()
+        days = sub["day"].to_numpy().astype("datetime64[D]")
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        gap = np.r_[True, (days[1:] - days[:-1])
+                    != np.timedelta64(1, "D")]
+        brk = new_key | gap
+        idx = np.arange(n, dtype=np.int64)
+        starts = idx[brk]
+        lens = np.diff(np.r_[starts, n])  # island lengths
+        island_key = keys[starts]
+        f = pd.DataFrame({key_col: island_key, "len": lens})
+        g = f.groupby(key_col, sort=False)["len"]
+        out = pd.DataFrame({
+            "longest_streak": g.max().to_numpy(np.int64),
+            "n_streaks": g.size().to_numpy(np.int64)})
+        out.insert(0, key_col, g.max().index.to_numpy())
+        return out
+
+    return ds.map_batches(_days, batch_format="pandas",
+                          batch_size=batch_size) \
+        .groupby("part").map_groups(_streaks, batch_format="pandas")

@@ -228,3 +228,50 @@ class TestDailyRatio:
             .sort_values("day").reset_index(drop=True)
         assert np.isnan(got["ratio"].iloc[0])  # purchase, no click
         assert got["ratio"].iloc[1] == 1.0
+
+
+class TestLongestDailyStreak:
+    @pytest.mark.parametrize("seed", [97, 191])
+    def test_differential_vs_duckdb(self, seed, ray_session):
+        import ray.data
+        from engine.relational import longest_daily_streak
+        df = _events(seed)
+        got = longest_daily_streak(
+            ray.data.from_pandas(df), batch_size=64).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute("""
+            with d as (
+              select distinct user_id, date_trunc('day', ts) as day
+              from events
+              where ts is not null and user_id is not null),
+            r as (
+              select user_id, day,
+                     row_number() over (partition by user_id
+                                        order by day) as rn
+              from d),
+            g as (select user_id, day - rn * interval 1 day as grp
+                  from r),
+            s as (select user_id, count(*)::bigint as len
+                  from g group by user_id, grp)
+            select user_id, max(len)::bigint as longest_streak,
+                   count(*)::bigint as n_streaks
+            from s group by user_id order by user_id""").df()
+        m = got.merge(exp, on="user_id", suffixes=("_g", "_e"))
+        assert len(m) == len(exp) == len(got)
+        assert (m["longest_streak_g"] == m["longest_streak_e"]).all()
+        assert (m["n_streaks_g"] == m["n_streaks_e"]).all()
+
+    def test_known_islands(self, ray_session):
+        import ray.data
+        from engine.relational import longest_daily_streak
+        # days 1,2,3 then 7,8 -> streaks 3 and 2
+        df = pd.DataFrame({
+            "user_id": np.array([1] * 6, dtype=np.int64),
+            "ts": pd.to_datetime(["2021-01-01", "2021-01-02",
+                                  "2021-01-03", "2021-01-03",
+                                  "2021-01-07", "2021-01-08"])})
+        got = longest_daily_streak(ray.data.from_pandas(df)).to_pandas()
+        assert got["longest_streak"].iloc[0] == 3
+        assert got["n_streaks"].iloc[0] == 2
